@@ -1,0 +1,85 @@
+"""Host audio I/O: WAV codec round trips, mixdown, resampling."""
+
+import numpy as np
+import pytest
+
+from basic_pitch_tpu.utils import audio as audio_io
+
+
+def test_wav_roundtrip_pcm16(tmp_path):
+    rng = np.random.RandomState(0)
+    x = (rng.rand(1000, 2).astype(np.float32) - 0.5) * 0.9
+    path = tmp_path / "t.wav"
+    audio_io.write_wav(path, x, 8000)
+    y, sr = audio_io.read_wav(path)
+    assert sr == 8000
+    assert y.shape == (1000, 2)
+    np.testing.assert_allclose(y, x, atol=0.51 / 32768)
+
+
+def test_read_24bit(tmp_path):
+    import struct
+
+    x = np.array([0.0, 0.5, -0.5, 0.999], dtype=np.float64)
+    pcm = np.round(x * (1 << 23)).astype(np.int64)
+    payload = b"".join(struct.pack("<i", int(v))[:3] for v in pcm)
+    path = tmp_path / "t24.wav"
+    with open(path, "wb") as fh:
+        fh.write(b"RIFF" + struct.pack("<I", 36 + len(payload)) + b"WAVE")
+        fh.write(b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 44100, 44100 * 3, 3, 24))
+        fh.write(b"data" + struct.pack("<I", len(payload)) + payload)
+    y, sr = audio_io.read_wav(path)
+    np.testing.assert_allclose(y[:, 0], x, atol=2e-7)
+
+
+def test_read_float32(tmp_path):
+    import struct
+
+    x = np.array([0.25, -0.75, 1.25], dtype=np.float32)  # float wavs can exceed 1
+    payload = x.tobytes()
+    path = tmp_path / "f32.wav"
+    with open(path, "wb") as fh:
+        fh.write(b"RIFF" + struct.pack("<I", 36 + len(payload)) + b"WAVE")
+        fh.write(b"fmt " + struct.pack("<IHHIIHH", 16, 3, 1, 22050, 22050 * 4, 4, 32))
+        fh.write(b"data" + struct.pack("<I", len(payload)) + payload)
+    y, _ = audio_io.read_wav(path)
+    np.testing.assert_allclose(y[:, 0], x)
+
+
+def test_to_mono():
+    x = np.stack([np.ones(10), np.zeros(10)], axis=1).astype(np.float32)
+    m = audio_io.to_mono(x)
+    np.testing.assert_allclose(m, 0.5)
+
+
+def test_resample_preserves_tone():
+    """A 1 kHz tone resampled 44100 -> 22050 keeps frequency and amplitude."""
+    sr_in, sr_out = 44100, 22050
+    t = np.arange(sr_in) / sr_in
+    x = np.sin(2 * np.pi * 1000 * t).astype(np.float32)
+    y = audio_io.resample(x, sr_in, sr_out)
+    assert len(y) == sr_out
+    # measure via FFT peak
+    spec = np.abs(np.fft.rfft(y[1000:21000] * np.hanning(20000)))
+    peak_hz = spec.argmax() * sr_out / 20000
+    assert abs(peak_hz - 1000) < 2
+    assert 0.95 < np.abs(y[2000:-2000]).max() < 1.01
+
+
+def test_resample_identity():
+    x = np.random.RandomState(0).randn(500).astype(np.float32)
+    np.testing.assert_array_equal(audio_io.resample(x, 22050, 22050), x)
+
+
+def test_resample_length_convention():
+    # ceil(n * out/in), the convention the reference's loader follows
+    x = np.zeros(200607 * 2 + 1, dtype=np.float32)
+    y = audio_io.resample(x, 44100, 22050)
+    assert len(y) == int(np.ceil(len(x) / 2))
+
+
+def test_bad_wav_raises(tmp_path):
+    path = tmp_path / "bad.wav"
+    path.write_bytes(b"not a wav file at all")
+    with pytest.raises(audio_io.WavFormatError):
+        audio_io.read_wav(path)
