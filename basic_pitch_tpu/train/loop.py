@@ -1,0 +1,240 @@
+"""Training loop: optimizer state, the jitted (optionally sharded) train
+step, LR scheduling, early stopping, and checkpointing.
+
+Reference behavior mirrored from `/root/reference/basic_pitch/train.py:35-168`:
+Adam, per-head smoothed BCE (optional class-balanced onset loss), unit-norm
+kernel constraint after each step, ReduceLROnPlateau(factor 0.5, patience 10),
+EarlyStopping(patience 25), best + per-epoch checkpoints. TPU-first
+differences: the step is one jitted function whose batch axis is sharded
+over a `Mesh` (gradients combine via a compiler-inserted psum over ICI), and
+checkpoints are this framework's flat-npz parameter archives.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import pathlib
+import time
+from typing import Any, Callable, Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from basic_pitch_tpu.models import nmp
+from basic_pitch_tpu.models import params as params_io
+from basic_pitch_tpu.parallel import mesh as mesh_lib
+from basic_pitch_tpu.train import losses
+
+Batch = Dict[str, Any]  # {"audio": (b, n), "targets": {...}, "weights": {...}}
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    learning_rate: float = 1e-3
+    label_smoothing: float = losses.DEFAULT_LABEL_SMOOTHING
+    weighted_onset_loss: bool = False
+    positive_onset_weight: float = losses.DEFAULT_POSITIVE_WEIGHT
+    bn_momentum: float = nmp.BN_MOMENTUM
+    lr_reduction_factor: float = 0.5
+    lr_patience: int = 10  # epochs without val improvement before LR cut
+    early_stop_patience: int = 25
+    steps_per_epoch: int = 100
+    validation_steps: int = 10
+    epochs: int = 500
+
+
+class TrainState:
+    """params + optimizer state + a mutable LR scale."""
+
+    def __init__(self, params, opt_state, lr_scale: float = 1.0):
+        self.params = params
+        self.opt_state = opt_state
+        self.lr_scale = lr_scale
+
+
+def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
+    # inject_hyperparams exposes the LR for plateau reduction
+    return optax.inject_hyperparams(optax.adam)(learning_rate=config.learning_rate)
+
+
+def _update_bn_stats(params, batch_stats, momentum: float):
+    """Fold train-mode batch statistics into the moving averages."""
+    new_params = dict(params)
+    for bn_name, stats in batch_stats.items():
+        if stats is None:
+            continue
+        mean, var = stats
+        bn = dict(params[bn_name])
+        bn["mean"] = momentum * bn["mean"] + (1.0 - momentum) * mean
+        bn["var"] = momentum * bn["var"] + (1.0 - momentum) * var
+        new_params[bn_name] = bn
+    return new_params
+
+
+def build_train_step(
+    optimizer: optax.GradientTransformation,
+    config: TrainConfig,
+    model_config: nmp.ModelConfig = nmp.DEFAULT_CONFIG,
+    mesh: Optional[jax.sharding.Mesh] = None,
+) -> Callable:
+    """Returns jitted (params, opt_state, batch) -> (params, opt_state, metrics).
+
+    With a mesh, the batch is sharded over its "data" axis and parameters are
+    replicated; XLA inserts the gradient all-reduce.
+    """
+
+    def step(params, opt_state, batch):
+        def loss_fn(p):
+            outputs, batch_stats = nmp.forward(
+                p, batch["audio"], model_config, train=True
+            )
+            total, per_head = losses.total_loss(
+                outputs,
+                batch["targets"],
+                batch.get("weights"),
+                label_smoothing=config.label_smoothing,
+                weighted_onset=config.weighted_onset_loss,
+                positive_weight=config.positive_onset_weight,
+            )
+            return total, (per_head, batch_stats)
+
+        (total, (per_head, batch_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        params = nmp.apply_unit_norm_constraint(params)
+        params = _update_bn_stats(params, batch_stats, config.bn_momentum)
+        metrics = {"loss": total, **{f"loss_{k}": v for k, v in per_head.items()}}
+        return params, opt_state, metrics
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0, 1))
+
+    batch_sharding = mesh_lib.batch_sharded(mesh)
+    rep = mesh_lib.replicated(mesh)
+    batch_shardings = {
+        "audio": batch_sharding,
+        "targets": {k: batch_sharding for k in ("contour", "note", "onset")},
+        "weights": {k: batch_sharding for k in ("contour", "note", "onset")},
+    }
+    return jax.jit(
+        step,
+        in_shardings=(rep, rep, batch_shardings),
+        out_shardings=(rep, rep, rep),
+        donate_argnums=(0, 1),
+    )
+
+
+def build_eval_step(
+    config: TrainConfig,
+    model_config: nmp.ModelConfig = nmp.DEFAULT_CONFIG,
+    mesh: Optional[jax.sharding.Mesh] = None,
+) -> Callable:
+    def step(params, batch):
+        outputs, _ = nmp.forward(params, batch["audio"], model_config, train=False)
+        total, per_head = losses.total_loss(
+            outputs,
+            batch["targets"],
+            batch.get("weights"),
+            label_smoothing=config.label_smoothing,
+            weighted_onset=config.weighted_onset_loss,
+            positive_weight=config.positive_onset_weight,
+        )
+        return {"loss": total, **{f"loss_{k}": v for k, v in per_head.items()}}
+
+    if mesh is None:
+        return jax.jit(step)
+    batch_sharding = mesh_lib.batch_sharded(mesh)
+    rep = mesh_lib.replicated(mesh)
+    batch_shardings = {
+        "audio": batch_sharding,
+        "targets": {k: batch_sharding for k in ("contour", "note", "onset")},
+        "weights": {k: batch_sharding for k in ("contour", "note", "onset")},
+    }
+    return jax.jit(step, in_shardings=(rep, batch_shardings), out_shardings=rep)
+
+
+def fit(
+    train_iter: Iterator[Batch],
+    val_iter: Iterator[Batch],
+    output_dir: pathlib.Path,
+    config: TrainConfig = TrainConfig(),
+    model_config: nmp.ModelConfig = nmp.DEFAULT_CONFIG,
+    init: Optional[Dict] = None,
+    mesh: Optional[jax.sharding.Mesh] = None,
+    seed: int = 0,
+    callbacks: Tuple[Callable, ...] = (),
+    log: Callable[[str], None] = print,
+) -> Dict:
+    """Keras-fit-like driver with plateau LR reduction, early stopping, and
+    best/per-epoch checkpoints (`train.py:126-168` behaviors).
+
+    Callbacks are called as cb(epoch, params, train_metrics, val_metrics).
+    Returns the best parameters.
+    """
+    output_dir = pathlib.Path(output_dir)
+    (output_dir / "checkpoints").mkdir(parents=True, exist_ok=True)
+
+    params = init if init is not None else nmp.init_params(jax.random.PRNGKey(seed), model_config)
+    optimizer = make_optimizer(config)
+    opt_state = optimizer.init(params)
+    if mesh is not None:
+        params = mesh_lib.replicate(mesh, params)
+        opt_state = mesh_lib.replicate(mesh, opt_state)
+
+    train_step = build_train_step(optimizer, config, model_config, mesh)
+    eval_step = build_eval_step(config, model_config, mesh)
+
+    best_val = np.inf
+    best_params = params
+    epochs_since_best = 0
+    lr = config.learning_rate
+
+    for epoch in range(config.epochs):
+        t0 = time.time()
+        train_metrics = []
+        for _ in range(config.steps_per_epoch):
+            batch = next(train_iter)
+            if mesh is not None:
+                batch = mesh_lib.shard_batch(mesh, batch)
+            params, opt_state, metrics = train_step(params, opt_state, batch)
+            train_metrics.append(metrics)
+        val_metrics = []
+        for _ in range(config.validation_steps):
+            batch = next(val_iter)
+            if mesh is not None:
+                batch = mesh_lib.shard_batch(mesh, batch)
+            val_metrics.append(eval_step(params, batch))
+
+        train_loss = float(np.mean([m["loss"] for m in jax.device_get(train_metrics)]))
+        val_loss = float(np.mean([m["loss"] for m in jax.device_get(val_metrics)]))
+        log(
+            f"epoch {epoch}: train_loss={train_loss:.4f} val_loss={val_loss:.4f} "
+            f"lr={lr:.2e} ({time.time() - t0:.1f}s)"
+        )
+
+        params_io.save_params(output_dir / "checkpoints" / f"model.{epoch:02d}.npz", jax.device_get(params))
+        if val_loss < best_val:
+            best_val = val_loss
+            best_params = jax.device_get(params)
+            epochs_since_best = 0
+            params_io.save_params(output_dir / "model.best.npz", best_params)
+        else:
+            epochs_since_best += 1
+
+        for cb in callbacks:
+            cb(epoch, params, {"loss": train_loss}, {"loss": val_loss})
+
+        # ReduceLROnPlateau(factor, patience) then EarlyStopping(patience)
+        if epochs_since_best > 0 and epochs_since_best % config.lr_patience == 0:
+            lr *= config.lr_reduction_factor
+            opt_state.hyperparams["learning_rate"] = jnp.asarray(lr)
+            log(f"  reducing learning rate to {lr:.2e}")
+        if epochs_since_best >= config.early_stop_patience:
+            log(f"  early stopping at epoch {epoch}")
+            break
+
+    return best_params
