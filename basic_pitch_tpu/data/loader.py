@@ -1,0 +1,310 @@
+"""Training-data ingest: weighted multi-dataset sampling -> windowed batches.
+
+Numpy/thread implementation of the reference's tf.data pipeline
+(`/root/reference/basic_pitch/data/tf_example_deserialization.py`), producing
+batches shaped for the jitted train step:
+
+    {"audio": (B, 43844) f32,
+     "targets": {"onset"/"note": (B, 172, 88), "contour": (B, 172, 264)},
+     "weights": {head: (B,)}}
+
+Semantics preserved:
+  * train file order: per-dataset shuffle, then weighted random dataset
+    choice without replacement until the first dataset runs dry
+    (`_train_file_generator` `:268-279`);
+  * validation: round-robin across datasets (`:282-293`);
+  * per-head presence weights with zero-filled missing targets (`:522-588`);
+  * 20 random 2-second windows per track (deterministic per-index seeds for
+    validation), all-silent windows dropped (`:591-729`);
+  * optional pairs-mixing augmentation: mean audio / max labels / min
+    weights (`:296-321`);
+  * example-level shuffle buffer, infinite repeat, cached validation batches.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import pathlib
+import queue
+import random
+import threading
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from basic_pitch_tpu import constants
+from basic_pitch_tpu.data import serialization, tfrecord
+
+N_SAMPLES_PER_TRACK = 20
+
+Batch = Dict[str, object]
+
+
+def _dataset_files(datasets_base_path: str, dataset_name: str, split: str) -> List[str]:
+    pattern = os.path.join(datasets_base_path, dataset_name, "splits", split, "*tfrecord")
+    return sorted(glob.glob(pattern))
+
+
+def train_file_order(
+    file_dict: Dict[str, List[str]], weights: np.ndarray, rng: random.Random
+) -> Iterator[str]:
+    """Weighted interleave without replacement; stops when any dataset dries up."""
+    pools = {k: list(v) for k, v in file_dict.items()}
+    keys = list(pools)
+    for k in keys:
+        rng.shuffle(pools[k])
+    weights = np.asarray(weights, np.float64)
+    weights = weights / weights.sum()
+    while all(pools.values()):
+        key = rng.choices(keys, weights=weights)[0]
+        yield pools[key].pop()
+
+
+def validation_file_order(file_dict: Dict[str, List[str]]) -> Iterator[str]:
+    """Round-robin across datasets until all are exhausted."""
+    pools = {k: list(v) for k, v in file_dict.items()}
+    while any(pools.values()):
+        for k in pools:
+            if pools[k]:
+                yield pools[k].pop()
+
+
+def _sample_weights(example: serialization.ParsedExample):
+    """Presence weights + zero-fill of missing targets (`:522-588`)."""
+    onsets, contours, notes = example.onsets, example.contours, example.notes
+    time_size = max(onsets.shape[0], contours.shape[0], notes.shape[0])
+    onset_w = float(onsets.shape[0] != 0)
+    contour_w = float(contours.shape[0] != 0)
+    note_w = float(notes.shape[0] != 0)
+    if onsets.shape[0] == 0:
+        onsets = np.zeros((time_size, constants.N_FREQ_BINS_NOTES), np.float32)
+    if contours.shape[0] == 0:
+        contours = np.zeros((time_size, constants.N_FREQ_BINS_CONTOURS), np.float32)
+    if notes.shape[0] == 0:
+        notes = np.zeros((time_size, constants.N_FREQ_BINS_NOTES), np.float32)
+    return onsets, contours, notes, onset_w, contour_w, note_w
+
+
+def _extract_window(audio, onsets, contours, notes, t_start: float):
+    """Fixed-length window at time t_start (`trim_time`/`extract_window`)."""
+    a0 = int(round(constants.AUDIO_SAMPLE_RATE * t_start))
+    audio_w = audio[a0 : a0 + constants.AUDIO_N_SAMPLES]
+    f0 = int(round(constants.ANNOTATIONS_FPS * t_start))
+    onsets_w = onsets[f0 : f0 + constants.ANNOT_N_FRAMES]
+    contours_w = contours[f0 : f0 + constants.ANNOT_N_FRAMES]
+    notes_w = notes[f0 : f0 + constants.ANNOT_N_FRAMES]
+    if (
+        len(audio_w) < constants.AUDIO_N_SAMPLES
+        or onsets_w.shape[0] < constants.ANNOT_N_FRAMES
+        or contours_w.shape[0] < constants.ANNOT_N_FRAMES
+        or notes_w.shape[0] < constants.ANNOT_N_FRAMES
+    ):
+        return None  # mirrors the reference's ignore_errors failsafe
+    return audio_w, onsets_w, contours_w, notes_w
+
+
+def iter_track_windows(
+    example: serialization.ParsedExample,
+    n_samples_per_track: int,
+    deterministic: bool,
+    rng: np.random.RandomState,
+):
+    """Random 2-second windows of one track, silent ones dropped."""
+    onsets, contours, notes, ow, cw, nw = _sample_weights(example)
+    n_sec = len(example.audio) / constants.AUDIO_SAMPLE_RATE
+    max_start = n_sec - constants.AUDIO_N_SAMPLES / constants.AUDIO_SAMPLE_RATE
+    if max_start <= 0:
+        return
+    for i in range(n_samples_per_track):
+        local = np.random.RandomState(i) if deterministic else rng
+        t_start = local.uniform(0.0, max_start)
+        window = _extract_window(example.audio, onsets, contours, notes, t_start)
+        if window is None:
+            continue
+        audio_w, onsets_w, contours_w, notes_w = window
+        if contours_w.mean() == 0 and notes_w.mean() == 0:
+            continue  # all-silent (`is_not_all_silent_annotations`)
+        yield {
+            "audio": audio_w.astype(np.float32),
+            "targets": {"onset": onsets_w, "contour": contours_w, "note": notes_w},
+            "weights": {"onset": ow, "contour": cw, "note": nw},
+        }
+
+
+def _combine_pair(a: Dict, b: Dict) -> Dict:
+    """Pairs-mixing augmentation (`combine_transcription_examples`)."""
+    return {
+        "audio": (a["audio"] + b["audio"]) / 2.0,
+        "targets": {
+            k: np.maximum(a["targets"][k], b["targets"][k]) for k in a["targets"]
+        },
+        "weights": {k: min(a["weights"][k], b["weights"][k]) for k in a["weights"]},
+    }
+
+
+def example_stream(
+    split: str,
+    datasets_base_path: str,
+    datasets: Sequence[str],
+    dataset_sampling_frequency: Sequence[float],
+    n_samples_per_track: int = N_SAMPLES_PER_TRACK,
+    pairs: bool = False,
+    seed: Optional[int] = None,
+) -> Iterator[Dict]:
+    """One pass over the split: every file once, windows per track."""
+    if split == "validation":
+        pairs = False
+        if n_samples_per_track != 1:
+            n_samples_per_track = 5
+
+    file_dict = {
+        name: _dataset_files(datasets_base_path, name, split) for name in datasets
+    }
+    missing = [k for k, v in file_dict.items() if not v]
+    if missing:
+        raise FileNotFoundError(
+            f"no tfrecords found for {missing} under {datasets_base_path}"
+        )
+    rng = random.Random(seed)
+    nprng = np.random.RandomState(seed)
+
+    if split == "train":
+        order = train_file_order(file_dict, np.asarray(dataset_sampling_frequency), rng)
+    else:
+        order = validation_file_order(file_dict)
+
+    pending_pair: Optional[Dict] = None
+    for path in order:
+        for record in tfrecord.read_tfrecords(path):
+            try:
+                example = serialization.parse_transcription_example(record)
+            except Exception:
+                continue  # corrupt example failsafe (`:364`)
+            if example.notes.shape[0] == 0 and example.onsets.shape[0] == 0 and example.contours.shape[0] == 0:
+                continue
+            for item in iter_track_windows(
+                example, n_samples_per_track, deterministic=(split != "train"), rng=nprng
+            ):
+                if pairs:
+                    if pending_pair is None:
+                        pending_pair = item
+                    else:
+                        yield _combine_pair(pending_pair, item)
+                        pending_pair = None
+                    # unpaired examples also flow through, like the
+                    # reference's choose_from_datasets alternation
+                    yield item
+                else:
+                    yield item
+
+
+def _shuffled(stream: Iterator[Dict], buffer_size: int, rng: random.Random) -> Iterator[Dict]:
+    buffer: List[Dict] = []
+    for item in stream:
+        if len(buffer) < buffer_size:
+            buffer.append(item)
+            continue
+        idx = rng.randrange(buffer_size)
+        yield buffer[idx]
+        buffer[idx] = item
+    rng.shuffle(buffer)
+    yield from buffer
+
+
+def _batched(stream: Iterator[Dict], batch_size: int) -> Iterator[Batch]:
+    items: List[Dict] = []
+    for item in stream:
+        items.append(item)
+        if len(items) == batch_size:
+            yield _collate(items)
+            items = []
+
+
+def _collate(items: List[Dict]) -> Batch:
+    return {
+        "audio": np.stack([it["audio"] for it in items]),
+        "targets": {
+            k: np.stack([it["targets"][k] for it in items])
+            for k in ("onset", "contour", "note")
+        },
+        "weights": {
+            k: np.asarray([it["weights"][k] for it in items], np.float32)
+            for k in ("onset", "contour", "note")
+        },
+    }
+
+
+def _prefetch(iterator: Iterator[Batch], depth: int = 2) -> Iterator[Batch]:
+    """Background-thread prefetching (the AUTOTUNE analogue)."""
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    sentinel = object()
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+        finally:
+            q.put(sentinel)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            return
+        yield item
+
+
+def prepare_datasets(
+    datasets_base_path: str,
+    training_shuffle_buffer_size: int,
+    batch_size: int,
+    validation_steps: int,
+    datasets_to_use: Sequence[str],
+    dataset_sampling_frequency: Sequence[float],
+    pairs: bool = False,
+    seed: Optional[int] = None,
+) -> tuple:
+    """(infinite train iterator, infinite cached validation iterator) —
+    the reference's `prepare_datasets` contract (`:42-108`)."""
+    import itertools
+
+    def train_epochs() -> Iterator[Dict]:
+        epoch = 0
+        while True:
+            yield from example_stream(
+                "train",
+                datasets_base_path,
+                datasets_to_use,
+                dataset_sampling_frequency,
+                pairs=pairs,
+                seed=None if seed is None else seed + epoch,
+            )
+            epoch += 1
+
+    rng = random.Random(seed)
+    train_stream: Iterator[Dict] = train_epochs()
+    if training_shuffle_buffer_size > 0:
+        train_stream = _shuffled(train_stream, training_shuffle_buffer_size, rng)
+    train_iter = _prefetch(_batched(train_stream, batch_size))
+
+    # validation: materialize `validation_steps` batches once, cycle forever
+    val_stream = example_stream(
+        "validation", datasets_base_path, datasets_to_use, dataset_sampling_frequency
+    )
+
+    def val_batches():
+        cached: List[Batch] = []
+        source = _batched(_cycle_stream(), batch_size)
+        for _ in range(validation_steps):
+            cached.append(next(source))
+        return cached
+
+    def _cycle_stream():
+        while True:
+            yield from example_stream(
+                "validation", datasets_base_path, datasets_to_use, dataset_sampling_frequency
+            )
+
+    val_iter = itertools.cycle(val_batches())
+    return train_iter, val_iter

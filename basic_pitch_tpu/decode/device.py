@@ -1,0 +1,392 @@
+"""On-device (jittable) note-event decoder.
+
+Re-expresses the reference's sequential greedy decoders
+(`/root/reference/basic_pitch/note_creation.py:360-509`) as fixed-shape JAX
+programs so posteriorgrams NEVER leave the device — only compact note-event
+buffers (a few KB) and an optional int8 bend matrix are transferred. This is
+what makes >>500x-real-time end-to-end throughput possible: the host-side
+python decode and the posteriorgram device->host transfer are both removed
+from the hot path.
+
+Key reformulations:
+
+  * Onset ordering (backward in time, then descending frequency) becomes a
+    single `top_k` over masked flattened indices.
+  * "Walk forward until `tol` consecutive sub-threshold frames" becomes a
+    cumulative-max run-length computation: with `last_above[t]` the latest
+    above-threshold position <= t, the walk's gap counter at t is
+    `t - last_above[t]`, so the stopping position is the first index where
+    that reaches `tol` — one `cummax` + one masked `argmin` per note instead
+    of a python loop over frames.
+  * The melodia trick's data-dependent `while max(energy) > thresh` loop maps
+    onto `lax.while_loop` with the same run-length trick in both directions;
+    the residual-energy matrix is updated in place with 3-row dynamic slices.
+  * Per-note gaussian-weighted pitch-bend argmax becomes one dense
+    (T, 88, 51) weighted argmax over all possible note pitches at once.
+
+Emission order (onset notes backward in time, then melodia notes by
+descending residual energy) matches the reference exactly, as do all edge
+conditions; `tests/test_device_decode.py` fuzzes this against the host
+decoder oracle.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from basic_pitch_tpu import constants
+from basic_pitch_tpu.decode import notes as host_decode
+
+F = constants.N_FREQ_BINS_NOTES  # 88
+MAX_FREQ_IDX = host_decode.MAX_FREQ_IDX
+N_BEND_TOLERANCE = 25
+BEND_WINDOW = 2 * N_BEND_TOLERANCE + 1
+
+
+class DecodedNotes(NamedTuple):
+    """Fixed-size note buffers (valid entries: index < n_notes)."""
+
+    starts: jnp.ndarray  # (max_notes,) int32
+    ends: jnp.ndarray  # (max_notes,) int32
+    pitches: jnp.ndarray  # (max_notes,) int32 — MIDI numbers
+    amplitudes: jnp.ndarray  # (max_notes,) float32
+    n_notes: jnp.ndarray  # () int32
+    overflow: jnp.ndarray  # () bool — buffers or iteration caps were hit
+
+
+def _forward_scan(col, t0, thresh, tol, t_end):
+    """End bookkeeping of the reference's forward walk from t0+1.
+
+    `t_end` is the (possibly traced) logical frame count — the array may be
+    zero-padded beyond it so one executable serves any file length.
+
+    Returns (end, i_final): `end` is the exclusive end of above-threshold
+    frames (walk position minus trailing gap); `i_final` the exclusive end of
+    VISITED frames (used by melodia's zeroing).
+    """
+    n = col.shape[0]
+    pos = jnp.arange(n)
+    above = (col >= thresh) | (pos <= t0)
+    last_above = jax.lax.cummax(jnp.where(above, pos, -1))
+    consec = pos - last_above
+    in_range = (consec >= tol) & (pos >= t0 + 1) & (pos <= t_end - 2)
+    cand = jnp.where(in_range, pos, n)
+    t_stop = jnp.min(cand)
+    found = t_stop < n
+    consec_tail = jnp.take(consec, jnp.clip(t_end - 2, 0, n - 1))
+    k_nostop = jnp.where(t_end - 2 >= t0 + 1, consec_tail, 0)
+    i_final = jnp.where(found, t_stop + 1, jnp.maximum(t0 + 1, t_end - 1))
+    k_final = jnp.where(found, tol, k_nostop)
+    return i_final - k_final, i_final
+
+
+def _backward_scan(col, t0, thresh, tol, n_frames):
+    """Start bookkeeping of the melodia backward walk from t0-1.
+
+    Only depends on positions <= t0, so zero padding beyond the logical frame
+    count needs no special handling here.
+
+    Returns (start, i_final): `start` is the inclusive start of
+    above-threshold frames; `i_final` the inclusive end of the walk (frames
+    (i_final, t0) were visited).
+    """
+    pos = jnp.arange(n_frames)
+    above = (col >= thresh) | (pos >= t0)
+    rev = jnp.where(above, pos, n_frames + 1)[::-1]
+    next_above = jax.lax.cummin(rev)[::-1]
+    consec = next_above - pos
+    in_range = (consec >= tol) & (pos <= t0 - 1) & (pos >= 1)
+    cand = jnp.where(in_range, pos, -1)
+    t_stop = jnp.max(cand)
+    found = t_stop >= 0
+    k_nostop = jnp.where(t0 - 1 >= 1, consec[1], 0)
+    i_final = jnp.where(found, t_stop - 1, jnp.minimum(t0 - 1, 0))
+    k_final = jnp.where(found, tol, k_nostop)
+    return i_final + 1 + k_final, i_final
+
+
+def _zero_rows(matrix_ft, freq, time_mask_center, time_mask_neighbors):
+    """Zero energy around `freq`: center row under one mask, the +/-1
+    neighbor rows under another. matrix_ft is (F, T)."""
+    start = jnp.clip(freq - 1, 0, F - 3)
+    rows = jax.lax.dynamic_slice(matrix_ft, (start, 0), (3, matrix_ft.shape[1]))
+    row_ids = start + jnp.arange(3)[:, None]
+    is_center = row_ids == freq
+    is_neighbor = jnp.abs(row_ids - freq) == 1
+    mask = jnp.where(
+        is_center, time_mask_center[None, :], jnp.where(is_neighbor, time_mask_neighbors[None, :], False)
+    )
+    return jax.lax.dynamic_update_slice(matrix_ft, jnp.where(mask, 0.0, rows), (start, 0))
+
+
+def _emit(buffers: DecodedNotes, start, end, pitch, amplitude, keep) -> DecodedNotes:
+    max_notes = buffers.starts.shape[0]
+    slot = buffers.n_notes
+    fits = slot < max_notes
+    write = keep & fits
+    idx = jnp.where(write, slot, 0)
+
+    def put(buf, value):
+        return jnp.where(write, buf.at[idx].set(value.astype(buf.dtype)), buf)
+
+    return DecodedNotes(
+        starts=put(buffers.starts, start),
+        ends=put(buffers.ends, end),
+        pitches=put(buffers.pitches, pitch + host_decode.MIDI_PITCH_OFFSET),
+        amplitudes=put(buffers.amplitudes, amplitude),
+        n_notes=buffers.n_notes + write.astype(jnp.int32),
+        overflow=buffers.overflow | (keep & ~fits),
+    )
+
+
+def preprocess(
+    frames: jnp.ndarray,
+    onsets: jnp.ndarray,
+    freq_mask: Optional[jnp.ndarray],
+    infer_onsets: bool,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Frequency constraining + onset inference (`note_creation.py:289-335`)."""
+    if freq_mask is not None:
+        frames = frames * freq_mask[None, :]
+        onsets = onsets * freq_mask[None, :]
+    if infer_onsets:
+        diffs = []
+        for lag in (1, 2):
+            padded = jnp.concatenate([jnp.zeros((lag, F), frames.dtype), frames])
+            diffs.append(padded[lag:] - padded[:-lag])
+        frame_diff = jnp.maximum(jnp.minimum(diffs[0], diffs[1]), 0.0)
+        frame_diff = frame_diff.at[:2].set(0.0)
+        peak = jnp.max(frame_diff)
+        scaled = jnp.where(peak > 0, jnp.max(onsets) * frame_diff / peak, 0.0)
+        onsets = jnp.maximum(onsets, scaled)
+    return frames, onsets
+
+
+def decode(
+    frames: jnp.ndarray,
+    onsets: jnp.ndarray,
+    onset_thresh,
+    frame_thresh,
+    min_note_len,
+    freq_mask: Optional[jnp.ndarray] = None,
+    infer_onsets: bool = True,
+    melodia_trick: bool = True,
+    energy_tol: int = host_decode.DEFAULT_ENERGY_TOLERANCE,
+    max_notes: int = 4096,
+    max_melodia_iters: int = 8192,
+    valid_frames=None,
+) -> DecodedNotes:
+    """Jittable equivalent of `output_to_notes_polyphonic`.
+
+    Args:
+        frames / onsets: (T, 88) float32 posteriorgrams (device).
+        onset_thresh / frame_thresh / min_note_len / energy_tol: may be
+            traced scalars — threshold sweeps reuse one executable.
+        freq_mask: optional (88,) 0/1 mask (frequency constraining).
+        max_notes / max_melodia_iters: static buffer/iteration bounds; the
+            `overflow` flag reports truncation (callers fall back to the host
+            decoder in that rare case).
+        valid_frames: optional traced logical frame count when the arrays are
+            zero-padded to a bucketed length — decoding then behaves exactly
+            as if the arrays were `valid_frames` long.
+
+    Returns:
+        DecodedNotes in the reference's emission order.
+    """
+    n_frames = frames.shape[0]
+    t_end = n_frames if valid_frames is None else valid_frames
+    frames, onsets = preprocess(frames, onsets, freq_mask, infer_onsets)
+
+    # strict local maxima over time, valued at the onset, thresholded —
+    # including the reference's quirk that threshold 0 passes non-peaks
+    interior = (onsets[1:-1] > onsets[:-2]) & (onsets[1:-1] > onsets[2:])
+    peak_mask = jnp.pad(interior, ((1, 1), (0, 0)))
+    pos_t = jnp.arange(n_frames)[:, None]
+    peak_mask = peak_mask & (pos_t <= t_end - 2)  # padded region has no peaks
+    peak_values = jnp.where(peak_mask, onsets, 0.0)
+    onset_mask = peak_values >= onset_thresh
+    # the threshold-0 quirk admits every cell — but never padding
+    onset_mask = onset_mask & (pos_t < t_end)
+
+    # order: time desc, then freq desc == descending flattened index
+    flat_idx = jnp.arange(n_frames * F, dtype=jnp.int32).reshape(n_frames, F)
+    masked = jnp.where(onset_mask, flat_idx, -1).reshape(-1)
+    k = min(max_notes, masked.shape[0])
+    onset_order, _ = jax.lax.top_k(masked, k)
+    n_onsets = jnp.sum(onset_mask).astype(jnp.int32)
+    onset_overflow = n_onsets > k
+
+    frames_ft = frames.T  # (F, T): row slice = one frequency's timeline
+    remaining0 = frames_ft
+    pos = jnp.arange(n_frames)
+
+    empty = DecodedNotes(
+        starts=jnp.zeros(max_notes, jnp.int32),
+        ends=jnp.zeros(max_notes, jnp.int32),
+        pitches=jnp.zeros(max_notes, jnp.int32),
+        amplitudes=jnp.zeros(max_notes, jnp.float32),
+        n_notes=jnp.asarray(0, jnp.int32),
+        overflow=jnp.asarray(False) | onset_overflow,
+    )
+
+    # ---- stage 1: onset-anchored notes, backward in time -----------------
+    def onset_body(state):
+        i, remaining, buffers = state
+        flat = onset_order[i]
+        t0 = flat // F
+        freq = flat % F
+        valid = (flat >= 0) & (t0 < t_end - 1)
+
+        col = jax.lax.dynamic_slice(remaining, (freq, 0), (1, n_frames))[0]
+        end, _ = _forward_scan(col, t0, frame_thresh, energy_tol, t_end)
+        keep = valid & (end - t0 > min_note_len)
+
+        time_mask = (pos >= t0) & (pos < end) & keep
+        remaining = _zero_rows(remaining, freq, time_mask, time_mask)
+
+        frames_col = jax.lax.dynamic_slice(frames_ft, (freq, 0), (1, n_frames))[0]
+        span = jnp.maximum(end - t0, 1).astype(jnp.float32)
+        amplitude = jnp.sum(jnp.where((pos >= t0) & (pos < end), frames_col, 0.0)) / span
+
+        buffers = _emit(buffers, t0, end, freq, amplitude, keep)
+        return i + 1, remaining, buffers
+
+    def onset_cond(state):
+        i, _, _ = state
+        return i < jnp.minimum(n_onsets, k)
+
+    _, remaining, buffers = jax.lax.while_loop(
+        onset_cond, onset_body, (jnp.asarray(0, jnp.int32), remaining0, empty)
+    )
+
+    if not melodia_trick:
+        return buffers
+
+    # ---- stage 2: melodia trick — residual-energy region growing ---------
+    # The global argmax is maintained INCREMENTALLY: per-frequency maxima and
+    # their first-occurrence times are stored in (F,) vectors, and each
+    # iteration only rescans the 3 rows it zeroed — ~600 KB of HBM traffic
+    # per note instead of a full-matrix reduction (~36 MB), while still
+    # reproducing np.argmax's row-major (t, then f) tie-breaking.
+
+    def row_stats(rows):
+        rmax = jnp.max(rows, axis=1)
+        tfirst = jnp.argmax(rows == rmax[:, None], axis=1).astype(jnp.int32)
+        return rmax, tfirst
+
+    def melodia_cond(state):
+        it, _, rowmax, _, _, _ = state
+        return (jnp.max(rowmax) > frame_thresh) & (it < max_melodia_iters)
+
+    def melodia_body(state):
+        it, remaining, rowmax, t_first, buffers, _ = state
+        peak = jnp.max(rowmax)
+        # np.argmax((T, F)) tie order: smallest t, then smallest f
+        key = jnp.where(rowmax == peak, t_first * F + jnp.arange(F, dtype=jnp.int32), jnp.iinfo(jnp.int32).max)
+        first = jnp.min(key)
+        t_mid = first // F
+        freq = first % F
+
+        remaining = remaining.at[freq, t_mid].set(0.0)
+        col = jax.lax.dynamic_slice(remaining, (freq, 0), (1, n_frames))[0]
+
+        fwd_end, fwd_final = _forward_scan(col, t_mid, frame_thresh, energy_tol, t_end)
+        i_end = fwd_end - 1  # reference: i_end = i_final - 1 - k_final
+
+        bwd_start, bwd_final = _backward_scan(col, t_mid, frame_thresh, energy_tol, n_frames)
+        i_start = bwd_start
+
+        visited = ((pos >= bwd_final + 1) & (pos < t_mid)) | ((pos >= t_mid + 1) & (pos < fwd_final))
+        center_mask = visited | (pos == t_mid)
+
+        # zero the claimed region and refresh the stats of the 3 touched rows
+        start = jnp.clip(freq - 1, 0, F - 3)
+        rows = jax.lax.dynamic_slice(remaining, (start, 0), (3, n_frames))
+        row_ids = start + jnp.arange(3)[:, None]
+        mask = jnp.where(
+            row_ids == freq,
+            center_mask[None, :],
+            jnp.where(jnp.abs(row_ids - freq) == 1, visited[None, :], False),
+        )
+        rows = jnp.where(mask, 0.0, rows)
+        remaining = jax.lax.dynamic_update_slice(remaining, rows, (start, 0))
+        rmax3, tfirst3 = row_stats(rows)
+        rowmax = jax.lax.dynamic_update_slice(rowmax, rmax3, (start,))
+        t_first = jax.lax.dynamic_update_slice(t_first, tfirst3, (start,))
+
+        keep = (i_end - i_start) > min_note_len
+        frames_col = jax.lax.dynamic_slice(frames_ft, (freq, 0), (1, n_frames))[0]
+        span = jnp.maximum(i_end - i_start, 1).astype(jnp.float32)
+        amplitude = jnp.sum(jnp.where((pos >= i_start) & (pos < i_end), frames_col, 0.0)) / span
+
+        buffers = _emit(buffers, i_start, i_end, freq, amplitude, keep)
+        return it + 1, remaining, rowmax, t_first, buffers, peak
+
+    rowmax0, t_first0 = row_stats(remaining)
+    it, remaining, rowmax, _, buffers, _ = jax.lax.while_loop(
+        melodia_cond,
+        melodia_body,
+        (jnp.asarray(0, jnp.int32), remaining, rowmax0, t_first0, buffers, jnp.asarray(0.0, remaining.dtype)),
+    )
+    melodia_truncated = (it >= max_melodia_iters) & (jnp.max(rowmax) > frame_thresh)
+    return buffers._replace(overflow=buffers.overflow | melodia_truncated)
+
+
+# ---------------------------------------------------------------------------
+# pitch bends
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=1)
+def _bend_tables() -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Static gather tables for all 88 possible note pitches.
+
+    Returns (indices (88, 51) into the contour bins, validity (88, 51),
+    gaussian (51,))."""
+    centers = np.round(
+        [host_decode.midi_pitch_to_contour_bin(p + host_decode.MIDI_PITCH_OFFSET) for p in range(F)]
+    ).astype(np.int32)
+    offsets = np.arange(BEND_WINDOW) - N_BEND_TOLERANCE
+    idx = centers[:, None] + offsets[None, :]
+    valid = (idx >= 0) & (idx < constants.N_FREQ_BINS_CONTOURS)
+    gaussian = np.exp(-0.5 * ((np.arange(BEND_WINDOW) - N_BEND_TOLERANCE) / 5.0) ** 2)
+    return np.clip(idx, 0, constants.N_FREQ_BINS_CONTOURS - 1), valid, gaussian.astype(np.float32)
+
+
+def bend_matrix(contours: jnp.ndarray) -> jnp.ndarray:
+    """(T, 264) contours -> (T, 88) int8 per-frame bend for every pitch.
+
+    bend[t, p] = argmax_j(contours[t, window_p] * gaussian) - 25, in
+    1/3-semitone units — the dense form of `get_pitch_bends`
+    (`note_creation.py:182-220`); the host slices [start:end, pitch] per note.
+    """
+    idx, valid, gaussian = _bend_tables()
+    windows = contours[:, jnp.asarray(idx)]  # (T, 88, 51)
+    weighted = jnp.where(jnp.asarray(valid)[None], windows * jnp.asarray(gaussian), -1.0)
+    return (jnp.argmax(weighted, axis=-1) - N_BEND_TOLERANCE).astype(jnp.int8)
+
+
+# ---------------------------------------------------------------------------
+# host-facing wrapper
+# ---------------------------------------------------------------------------
+
+
+def notes_to_events(decoded: DecodedNotes, bends: Optional[np.ndarray]):
+    """Device buffers -> the host event-tuple format (frame domain)."""
+    n = int(decoded.n_notes)
+    starts = np.asarray(decoded.starts[:n]).tolist()
+    ends = np.asarray(decoded.ends[:n]).tolist()
+    pitches = np.asarray(decoded.pitches[:n]).tolist()
+    amps = np.asarray(decoded.amplitudes[:n]).astype(np.float64).tolist()
+    if bends is None:
+        return [(s, e, p, a, None) for s, e, p, a in zip(starts, ends, pitches, amps)]
+    bends64 = bends.astype(np.int64)
+    return [
+        (s, e, p, a, list(bends64[s:e, p - host_decode.MIDI_PITCH_OFFSET]))
+        for s, e, p, a in zip(starts, ends, pitches, amps)
+    ]

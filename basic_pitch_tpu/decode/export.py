@@ -28,15 +28,26 @@ NoteEvent = note_decode.NoteEvent
 def drop_overlapping_pitch_bends(events: List[NoteEvent]) -> List[NoteEvent]:
     """Remove pitch bends from any notes that overlap in time with another
     note (`note_creation.py:274-286`). MIDI pitch bends are per-channel, so
-    simultaneous notes would all bend together."""
+    simultaneous notes would all bend together.
+
+    A note keeps its bends iff it overlaps no other note; with events sorted
+    by start this is "the next start is at or after my end, and no earlier
+    note's end reaches past my start" — an O(n log n) sweep equivalent to the
+    reference's quadratic pair marking.
+    """
     events = sorted(events)
-    for i in range(len(events) - 1):
-        for j in range(i + 1, len(events)):
-            if events[j][0] >= events[i][1]:  # j starts after i ends
-                break
-            events[i] = events[i][:-1] + (None,)
-            events[j] = events[j][:-1] + (None,)
-    return events
+    n = len(events)
+    if n <= 1:
+        return events
+    starts = np.array([e[0] for e in events])
+    ends = np.array([e[1] for e in events])
+    prev_max_end = np.concatenate([[-np.inf], np.maximum.accumulate(ends)[:-1]])
+    next_start = np.concatenate([starts[1:], [np.inf]])
+    isolated = (next_start >= ends) & (prev_max_end <= starts)
+    return [
+        e if keep else e[:-1] + (None,)
+        for e, keep in zip(events, isolated)
+    ]
 
 
 def note_events_to_midi(

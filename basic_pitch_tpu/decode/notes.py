@@ -124,29 +124,51 @@ class DecodeConfig:
     energy_tolerance: int = DEFAULT_ENERGY_TOLERANCE
 
 
-def _scan_forward(
-    energy: np.ndarray, start: int, freq: int, thresh: float, tol: int, zero_neighbors: bool
-) -> int:
-    """Walk forward from `start+1`, counting consecutive-ish sub-threshold
-    frames; stop after `tol` of them. Optionally zero the traversed energy
-    (melodia mode). Returns the exclusive end frame (last above-threshold +1).
+def _forward_scan(col: np.ndarray, start: int, thresh: float, tol: int):
+    """Bookkeeping of the greedy forward walk from `start`+1, vectorized.
+
+    The walk counts consecutive sub-threshold frames and stops after `tol`
+    of them (or at n_frames-1). Equivalently: with last_above[t] the latest
+    position <= t that is above threshold (or <= start), the gap counter at
+    t is t - last_above[t], and the walk stops at the first t where it
+    reaches `tol`.
+
+    Returns (end, i_final): exclusive end of above-threshold frames, and the
+    exclusive end of visited frames (melodia zeroes everything visited).
     """
-    n_frames = energy.shape[0]
-    i = start + 1
-    gap = 0
-    while i < n_frames - 1 and gap < tol:
-        if energy[i, freq] < thresh:
-            gap += 1
-        else:
-            gap = 0
-        if zero_neighbors:
-            energy[i, freq] = 0
-            if freq < MAX_FREQ_IDX:
-                energy[i, freq + 1] = 0
-            if freq > 0:
-                energy[i, freq - 1] = 0
-        i += 1
-    return i - gap
+    n_frames = col.shape[0]
+    pos = np.arange(n_frames)
+    above = (col >= thresh) | (pos <= start)
+    last_above = np.maximum.accumulate(np.where(above, pos, -1))
+    consec = pos - last_above
+    lo, hi = start + 1, n_frames - 1  # visited range is [lo, hi)
+    hit = np.flatnonzero(consec[lo:hi] >= tol)
+    if hit.size:
+        i_final = lo + hit[0] + 1
+        gap = tol
+    else:
+        i_final = max(lo, n_frames - 1)
+        gap = consec[n_frames - 2] if n_frames - 2 >= lo else 0
+    return i_final - gap, i_final
+
+
+def _backward_scan(col: np.ndarray, start: int, thresh: float, tol: int):
+    """Mirror-image of `_forward_scan` for the melodia backward walk from
+    `start`-1 down to 1. Returns (note_start, i_final) where frames
+    (i_final, start) were visited."""
+    n_frames = col.shape[0]
+    pos = np.arange(n_frames)
+    above = (col >= thresh) | (pos >= start)
+    next_above = np.minimum.accumulate(np.where(above, pos, n_frames + 1)[::-1])[::-1]
+    consec = next_above - pos
+    in_range = np.flatnonzero((consec >= tol) & (pos <= start - 1) & (pos >= 1))
+    if in_range.size:
+        i_final = in_range[-1] - 1
+        gap = tol
+    else:
+        i_final = min(start - 1, 0)
+        gap = consec[1] if start - 1 >= 1 else 0
+    return i_final + 1 + gap, i_final
 
 
 def decode_note_events(
@@ -171,8 +193,11 @@ def decode_note_events(
     if config.infer_onsets:
         onsets = infer_onsets_from_frames(onsets, frames)
 
-    peaks = local_maxima_along_time(onsets) & (onsets >= config.onset_threshold)
-    onset_times, onset_freqs = np.nonzero(peaks)
+    # peak-valued matrix thresholded with >=, matching the reference exactly
+    # (note the quirk: threshold 0 admits every cell, peaks or not,
+    # `note_creation.py:396-404`)
+    peak_values = np.where(local_maxima_along_time(onsets), onsets, 0.0)
+    onset_times, onset_freqs = np.nonzero(peak_values >= config.onset_threshold)
 
     remaining = frames.copy()
     notes: List[FrameNote] = []
@@ -181,42 +206,33 @@ def decode_note_events(
     for start, freq in zip(onset_times[::-1], onset_freqs[::-1]):
         if start >= n_frames - 1:
             continue
-        end = _scan_forward(
-            remaining, start, freq, config.frame_threshold, config.energy_tolerance, False
+        end, _ = _forward_scan(
+            remaining[:, freq], start, config.frame_threshold, config.energy_tolerance
         )
         if end - start <= config.min_note_length:
             continue
-        remaining[start:end, freq] = 0
-        if freq < MAX_FREQ_IDX:
-            remaining[start:end, freq + 1] = 0
-        if freq > 0:
-            remaining[start:end, freq - 1] = 0
+        lo_f, hi_f = max(freq - 1, 0), min(freq + 1, MAX_FREQ_IDX)
+        remaining[start:end, lo_f : hi_f + 1] = 0
         notes.append((int(start), int(end), int(freq) + MIDI_PITCH_OFFSET, float(np.mean(frames[start:end, freq]))))
 
     if config.melodia_trick:
         while remaining.max() > config.frame_threshold:
             mid, freq = np.unravel_index(remaining.argmax(), remaining.shape)
             remaining[mid, freq] = 0
+            col = remaining[:, freq]
 
-            end = _scan_forward(
-                remaining, mid, freq, config.frame_threshold, config.energy_tolerance, True
-            ) - 1
+            fwd_end, fwd_final = _forward_scan(
+                col, mid, config.frame_threshold, config.energy_tolerance
+            )
+            end = fwd_end - 1
+            start, bwd_final = _backward_scan(
+                col, mid, config.frame_threshold, config.energy_tolerance
+            )
 
-            # backward pass mirrors the forward walk
-            i = mid - 1
-            gap = 0
-            while i > 0 and gap < config.energy_tolerance:
-                if remaining[i, freq] < config.frame_threshold:
-                    gap += 1
-                else:
-                    gap = 0
-                remaining[i, freq] = 0
-                if freq < MAX_FREQ_IDX:
-                    remaining[i, freq + 1] = 0
-                if freq > 0:
-                    remaining[i, freq - 1] = 0
-                i -= 1
-            start = i + 1 + gap
+            # zero everything the walks visited, +/- one semitone
+            lo_f, hi_f = max(freq - 1, 0), min(freq + 1, MAX_FREQ_IDX)
+            remaining[bwd_final + 1 : mid, lo_f : hi_f + 1] = 0
+            remaining[mid + 1 : fwd_final, lo_f : hi_f + 1] = 0
 
             if end - start <= config.min_note_length:
                 continue

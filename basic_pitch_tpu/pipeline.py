@@ -96,8 +96,12 @@ class StreamingTranscriber:
         idx = self._window_idx
         precision = self.precision
         config = self.config
+        slice_len = 2 * self.chunk_len + 2 * _DEC_HALO if chunk_is_44k else self.chunk_len
 
-        def run(params, chunk):
+        def run(params, audio_padded, start):
+            # chunk extraction happens ON DEVICE: the full (padded) recording
+            # is shipped to HBM once, and each chunk is a dynamic slice
+            chunk = jax.lax.dynamic_slice(audio_padded, (start,), (slice_len,))
             if chunk_is_44k:
                 chunk = resample_ops.decimate2(
                     chunk, precision=precision, halo=True, n_out=self.chunk_len
@@ -120,7 +124,7 @@ class StreamingTranscriber:
         replicated = jax.sharding.NamedSharding(self.mesh, pspec())
         return jax.jit(
             run,
-            in_shardings=(replicated, replicated),
+            in_shardings=(replicated, replicated, replicated),
             out_shardings={"note": shard_frames, "onset": shard_frames, "contour": shard_frames},
         )
 
@@ -137,6 +141,18 @@ class StreamingTranscriber:
             {"note", "onset", "contour"} matrices with exactly the frame
             count `inference.unwrap_output` would produce.
         """
+        device_out, n_frames = self._device_posteriorgrams(audio, sample_rate)
+        return {k: np.asarray(v)[:n_frames] for k, v in device_out.items()}
+
+    # ------------------------------------------------------------------
+    # fully device-resident transcription (posteriorgrams never leave HBM)
+    # ------------------------------------------------------------------
+
+    def _device_posteriorgrams(self, audio: np.ndarray, sample_rate: int):
+        """Like `posteriorgrams` but keeps per-chunk outputs on device.
+
+        Returns (device dict of (T_padded, F) arrays, logical frame count).
+        """
         audio = np.ascontiguousarray(audio, dtype=np.float32)
         if sample_rate == constants.AUDIO_SAMPLE_RATE:
             is_44k = False
@@ -145,35 +161,129 @@ class StreamingTranscriber:
             is_44k = True
             original_length = resample_ops.decimate2_output_length(len(audio))
         else:
-            raise ValueError(
-                f"StreamingTranscriber accepts 22050 or 44100 Hz input, got {sample_rate}; "
-                "resample on host first (basic_pitch_tpu.utils.audio.resample)"
-            )
+            raise ValueError(f"expected 22050 or 44100 Hz, got {sample_rate}")
 
-        pad_front = OVERLAP // 2  # the reference's half-overlap pre-pad
+        pad_front = OVERLAP // 2
         padded_length = original_length + pad_front
         n_windows = max(1, -(-padded_length // HOP))
         n_chunks = -(-n_windows // self.w)
 
-        outputs = {"note": [], "onset": [], "contour": []}
-        for c in range(n_chunks):
-            start22 = c * self.w * HOP - pad_front  # in original 22k coords
-            if is_44k:
-                # seg[m] = x44[2*start22 - 128 + m]; the device computes
-                # y[t] = sum_j h[j] seg[2t + j], j < 257, t < chunk_len
-                lo = 2 * start22 - _DEC_HALO
-                hi = lo + 2 * self.chunk_len + 2 * _DEC_HALO
-                chunk = _padded_slice(audio, lo, hi)
-            else:
-                chunk = _padded_slice(audio, start22, start22 + self.chunk_len)
-            fn = self._chunk_fn_44k if is_44k else self._chunk_fn_22k
-            out = fn(self.params, jnp.asarray(chunk))
-            for k, v in out.items():
-                outputs[k].append(np.asarray(v))
+        # pad once on host (cheap memcpy), ship to HBM once; chunks are
+        # device-side dynamic slices — no per-chunk host copies or transfers
+        chunk_stride = self.w * HOP
+        if is_44k:
+            front = 2 * pad_front + _DEC_HALO
+            needed = 2 * (n_chunks - 1) * chunk_stride + 2 * self.chunk_len + 2 * _DEC_HALO
+            starts = [2 * c * chunk_stride for c in range(n_chunks)]
+            fn = self._chunk_fn_44k
+        else:
+            front = pad_front
+            needed = (n_chunks - 1) * chunk_stride + self.chunk_len
+            starts = [c * chunk_stride for c in range(n_chunks)]
+            fn = self._chunk_fn_22k
+        # bucket the resident buffer length to powers of two so arbitrary
+        # file lengths reuse a handful of compiled executables
+        buffer_len = 1 << max(18, int(np.ceil(np.log2(max(needed, 1)))))
+        back = buffer_len - front - len(audio)
+        assert back >= 0, "chunk coverage arithmetic is broken"
+        audio_dev = jax.device_put(np.pad(audio, (front, back)))
 
-        # reference frame-count convention uses the ORIGINAL length
+        outputs = {"note": [], "onset": [], "contour": []}
+        for start in starts:
+            out = fn(self.params, audio_dev, start)
+            for k, v in out.items():
+                outputs[k].append(v)
+
         n_frames = int(original_length / HOP * FRAMES_PER_WINDOW)
-        return {k: np.concatenate(v)[:n_frames] for k, v in outputs.items()}
+        device_out = {k: jnp.concatenate(v) for k, v in outputs.items()}
+        return device_out, n_frames
+
+    def transcribe(
+        self,
+        audio: np.ndarray,
+        sample_rate: int,
+        onset_threshold: float = 0.5,
+        frame_threshold: float = 0.3,
+        min_note_length: int = 11,
+        min_freq: Optional[float] = None,
+        max_freq: Optional[float] = None,
+        infer_onsets: bool = True,
+        melodia_trick: bool = True,
+        include_pitch_bends: bool = True,
+        max_notes: int = 16384,
+    ):
+        """Raw samples -> note events, with decoding ON DEVICE.
+
+        Only note-event buffers (KBs) and an optional int8 bend matrix cross
+        the device boundary — the high-throughput path behind `bench.py`.
+        Falls back to the host decoder on buffer overflow (pathological
+        inputs). Returns second-domain events in the same format as
+        `inference.predict`.
+        """
+        from basic_pitch_tpu.decode import device as device_decode
+        from basic_pitch_tpu.decode import notes as host_decode
+
+        out, n_frames = self._device_posteriorgrams(audio, sample_rate)
+
+        freq_mask = None
+        if min_freq is not None or max_freq is not None:
+            mask = np.ones(constants.N_FREQ_BINS_NOTES, np.float32)
+            if min_freq is not None:
+                lo = int(np.round(host_decode.hz_to_midi(min_freq) - host_decode.MIDI_PITCH_OFFSET))
+                mask[:lo] = 0
+            if max_freq is not None:
+                hi = int(np.round(host_decode.hz_to_midi(max_freq) - host_decode.MIDI_PITCH_OFFSET))
+                mask[hi:] = 0
+            freq_mask = jnp.asarray(mask)
+
+        decoded = jax.jit(
+            device_decode.decode,
+            static_argnames=("infer_onsets", "melodia_trick", "max_notes", "max_melodia_iters"),
+        )(
+            out["note"],
+            out["onset"],
+            onset_threshold,
+            frame_threshold,
+            min_note_length,
+            freq_mask=freq_mask,
+            infer_onsets=infer_onsets,
+            melodia_trick=melodia_trick,
+            max_notes=max_notes,
+            max_melodia_iters=2 * max_notes,
+            valid_frames=n_frames,
+        )
+
+        if bool(decoded.overflow):  # pathological density: host fallback
+            host_out = {k: np.asarray(v)[:n_frames] for k, v in out.items()}
+            config = host_decode.DecodeConfig(
+                onset_threshold=onset_threshold,
+                frame_threshold=frame_threshold,
+                min_note_length=min_note_length,
+                infer_onsets=infer_onsets,
+                min_freq=min_freq,
+                max_freq=max_freq,
+                melodia_trick=melodia_trick,
+            )
+            frame_notes = host_decode.decode_note_events(
+                host_out["note"], host_out["onset"], config
+            )
+            if include_pitch_bends:
+                events_f = host_decode.extract_pitch_bends(host_out["contour"], frame_notes)
+            else:
+                events_f = [(s, e, p, a, None) for s, e, p, a in frame_notes]
+        else:
+            bends = (
+                np.asarray(device_decode.bend_matrix(out["contour"]))
+                if include_pitch_bends
+                else None
+            )
+            events_f = device_decode.notes_to_events(decoded, bends)
+
+        times = host_decode.model_frames_to_time(n_frames)
+        return [
+            (float(times[s]), float(times[min(e, n_frames - 1)]), p, a, b)
+            for s, e, p, a, b in events_f
+        ]
 
     def transcribe_file(self, audio_path) -> Dict[str, np.ndarray]:
         """Decode a WAV on host and transcribe. 44.1 kHz and 22.05 kHz files
@@ -189,7 +299,12 @@ class StreamingTranscriber:
 
 
 def _padded_slice(x: np.ndarray, lo: int, hi: int) -> np.ndarray:
-    """x[lo:hi] with zero padding for out-of-range indices."""
+    """x[lo:hi] with zero padding for out-of-range indices.
+
+    Fully-interior slices return a zero-copy view (jnp.asarray does the one
+    unavoidable copy when staging to the device)."""
+    if 0 <= lo and hi <= len(x):
+        return x[lo:hi]
     out = np.zeros(hi - lo, dtype=x.dtype)
     src_lo, src_hi = max(lo, 0), min(hi, len(x))
     if src_hi > src_lo:

@@ -41,6 +41,12 @@ def read_wav(path: PathLike) -> Tuple[np.ndarray, int]:
     """
     with open(path, "rb") as fh:
         raw = fh.read()
+    return read_wav_bytes(raw, name=str(path))
+
+
+def read_wav_bytes(raw: bytes, name: str = "<bytes>") -> Tuple[np.ndarray, int]:
+    """Decode in-memory WAV bytes (same contract as `read_wav`)."""
+    path = name
     if len(raw) < 12 or raw[:4] != _RIFF or raw[8:12] != _WAVE:
         raise WavFormatError(f"{path} is not a RIFF/WAVE file")
 

@@ -48,23 +48,19 @@ def synth_audio(seconds: float, sample_rate: int = 44100, seed: int = 0) -> np.n
 
 def main() -> None:
     from basic_pitch_tpu import pipeline
-    from basic_pitch_tpu.decode import export as decode_export
 
     audio_seconds = 600.0
     audio = synth_audio(audio_seconds)
 
     transcriber = pipeline.StreamingTranscriber(windows_per_chunk=128)
 
-    # warmup: compile the chunk executable and the decode path
-    warm = audio[: 44100 * 40]
-    out = transcriber.posteriorgrams(warm, 44100)
-    decode_export.model_output_to_notes(out, 0.5, 0.3, min_note_len=11)
+    # warmup: compile chunk + decode executables at the bench shapes
+    events = transcriber.transcribe(audio, 44100)
 
     best = 0.0
     for _ in range(3):
         t0 = time.time()
-        output = transcriber.posteriorgrams(audio, 44100)
-        _, events = decode_export.model_output_to_notes(output, 0.5, 0.3, min_note_len=11)
+        events = transcriber.transcribe(audio, 44100)
         dt = time.time() - t0
         best = max(best, audio_seconds / dt)
 
@@ -78,7 +74,7 @@ def main() -> None:
                 "detail": {
                     "audio_seconds": audio_seconds,
                     "note_events": len(events),
-                    "pipeline": "44.1kHz raw -> device decimate+window+model -> host decode",
+                    "pipeline": "44.1kHz raw -> device decimate+window+model+decode -> events",
                 },
             }
         )
