@@ -89,8 +89,83 @@ class StreamingTranscriber:
 
         self._chunk_fn_22k = self._build(chunk_is_44k=False)
         self._chunk_fn_44k = self._build(chunk_is_44k=True)
+        self._fused_cache = {}
 
     # ------------------------------------------------------------------
+
+    def _fused_fn(
+        self,
+        n_chunks: int,
+        is_44k: bool,
+        include_bends: bool,
+        max_notes: int,
+        infer_onsets: bool = True,
+        melodia_trick: bool = True,
+    ):
+        """One jitted program: scan over chunks -> posteriorgrams -> decode
+        -> bends. A single device invocation per recording, so the tunnel's
+        per-call latency is paid once instead of once per stage."""
+        key = (n_chunks, is_44k, include_bends, max_notes, infer_onsets, melodia_trick)
+        if key in self._fused_cache:
+            return self._fused_cache[key]
+
+        from basic_pitch_tpu.decode import device as device_decode
+
+        idx = self._window_idx
+        precision = self.precision
+        config = self.config
+        slice_len = 2 * self.chunk_len + 2 * _DEC_HALO if is_44k else self.chunk_len
+        stride = 2 * self.w * HOP if is_44k else self.w * HOP
+
+        def one_chunk(params, audio_padded, start):
+            chunk = jax.lax.dynamic_slice(audio_padded, (start,), (slice_len,))
+            if chunk.dtype == jnp.int16:
+                # int16 transport: the exact source PCM at half the tunnel bytes
+                chunk = chunk.astype(jnp.float32) * (1.0 / 32768.0)
+            if is_44k:
+                chunk = resample_ops.decimate2(
+                    chunk, precision=precision, halo=True, n_out=self.chunk_len
+                )
+            windows = chunk[idx]
+            out = nmp.predict_fn(params, windows, config, precision=precision)
+            return {
+                k: v[:, TRIM : v.shape[1] - TRIM, :].reshape(
+                    self.w * FRAMES_PER_WINDOW, v.shape[2]
+                )
+                for k, v in out.items()
+            }
+
+        def fused(params, audio_padded, n_frames, onset_t, frame_t, min_len, freq_mask):
+            starts = stride * jnp.arange(n_chunks, dtype=jnp.int32)
+            outs = jax.lax.map(lambda s: one_chunk(params, audio_padded, s), starts)
+            post = {k: v.reshape(-1, v.shape[-1]) for k, v in outs.items()}
+            # frames past the recording come from zero-padded audio, where
+            # the model still emits nonzero activations — silence them
+            valid = (jnp.arange(post["note"].shape[0])[:, None] < n_frames).astype(post["note"].dtype)
+            post = {k: v * valid for k, v in post.items()}
+            decoded = device_decode.decode(
+                post["note"],
+                post["onset"],
+                onset_t,
+                frame_t,
+                min_len,
+                freq_mask=freq_mask,
+                infer_onsets=infer_onsets,
+                melodia_trick=melodia_trick,
+                max_notes=max_notes,
+                max_melodia_iters=2 * max_notes,
+                valid_frames=n_frames,
+            )
+            if include_bends:
+                bends_all = device_decode.bend_matrix(post["contour"])
+                bends_inline = device_decode.gather_note_bends(bends_all, decoded)
+            else:
+                bends_all = bends_inline = None
+            return decoded, bends_inline, bends_all
+
+        fn = jax.jit(fused)
+        self._fused_cache[key] = fn
+        return fn
 
     def _build(self, chunk_is_44k: bool):
         idx = self._window_idx
@@ -102,6 +177,8 @@ class StreamingTranscriber:
             # chunk extraction happens ON DEVICE: the full (padded) recording
             # is shipped to HBM once, and each chunk is a dynamic slice
             chunk = jax.lax.dynamic_slice(audio_padded, (start,), (slice_len,))
+            if chunk.dtype == jnp.int16:
+                chunk = chunk.astype(jnp.float32) * (1.0 / 32768.0)
             if chunk_is_44k:
                 chunk = resample_ops.decimate2(
                     chunk, precision=precision, halo=True, n_out=self.chunk_len
@@ -148,12 +225,14 @@ class StreamingTranscriber:
     # fully device-resident transcription (posteriorgrams never leave HBM)
     # ------------------------------------------------------------------
 
-    def _device_posteriorgrams(self, audio: np.ndarray, sample_rate: int):
-        """Like `posteriorgrams` but keeps per-chunk outputs on device.
+    def _prepare_buffer(self, audio: np.ndarray, sample_rate: int):
+        """Pad once on host, ship to HBM once; returns buffer + geometry.
 
-        Returns (device dict of (T_padded, F) arrays, logical frame count).
+        The resident buffer length is bucketed to powers of two so arbitrary
+        file lengths reuse a handful of compiled executables.
         """
-        audio = np.ascontiguousarray(audio, dtype=np.float32)
+        if audio.dtype != np.int16:  # int16 rides the tunnel at half the bytes
+            audio = np.ascontiguousarray(audio, dtype=np.float32)
         if sample_rate == constants.AUDIO_SAMPLE_RATE:
             is_44k = False
             original_length = len(audio)
@@ -168,35 +247,168 @@ class StreamingTranscriber:
         n_windows = max(1, -(-padded_length // HOP))
         n_chunks = -(-n_windows // self.w)
 
-        # pad once on host (cheap memcpy), ship to HBM once; chunks are
-        # device-side dynamic slices — no per-chunk host copies or transfers
         chunk_stride = self.w * HOP
         if is_44k:
             front = 2 * pad_front + _DEC_HALO
             needed = 2 * (n_chunks - 1) * chunk_stride + 2 * self.chunk_len + 2 * _DEC_HALO
-            starts = [2 * c * chunk_stride for c in range(n_chunks)]
-            fn = self._chunk_fn_44k
+            slice_len = 2 * self.chunk_len + 2 * _DEC_HALO
+            stride = 2 * chunk_stride
         else:
             front = pad_front
             needed = (n_chunks - 1) * chunk_stride + self.chunk_len
-            starts = [c * chunk_stride for c in range(n_chunks)]
-            fn = self._chunk_fn_22k
-        # bucket the resident buffer length to powers of two so arbitrary
-        # file lengths reuse a handful of compiled executables
+            slice_len = self.chunk_len
+            stride = chunk_stride
         buffer_len = 1 << max(18, int(np.ceil(np.log2(max(needed, 1)))))
         back = buffer_len - front - len(audio)
         assert back >= 0, "chunk coverage arithmetic is broken"
         audio_dev = jax.device_put(np.pad(audio, (front, back)))
 
+        n_frames = int(original_length / HOP * FRAMES_PER_WINDOW)
+        # chunk capacity of this bucket (the fused program runs them all and
+        # masks frames beyond n_frames)
+        n_chunks_cap = (buffer_len - slice_len) // stride + 1
+        return {
+            "audio_dev": audio_dev,
+            "is_44k": is_44k,
+            "n_frames": n_frames,
+            "n_chunks": n_chunks,
+            "n_chunks_cap": n_chunks_cap,
+            "stride": stride,
+        }
+
+    def _device_posteriorgrams(self, audio: np.ndarray, sample_rate: int):
+        """Chunk-by-chunk posteriorgrams kept on device.
+
+        Returns (device dict of (T_padded, F) arrays, logical frame count).
+        """
+        buf = self._prepare_buffer(audio, sample_rate)
+        fn = self._chunk_fn_44k if buf["is_44k"] else self._chunk_fn_22k
         outputs = {"note": [], "onset": [], "contour": []}
-        for start in starts:
-            out = fn(self.params, audio_dev, start)
+        for c in range(buf["n_chunks"]):
+            out = fn(self.params, buf["audio_dev"], c * buf["stride"])
             for k, v in out.items():
                 outputs[k].append(v)
-
-        n_frames = int(original_length / HOP * FRAMES_PER_WINDOW)
         device_out = {k: jnp.concatenate(v) for k, v in outputs.items()}
-        return device_out, n_frames
+        return device_out, buf["n_frames"]
+
+    def _dispatch(
+        self,
+        audio: np.ndarray,
+        sample_rate: int,
+        onset_threshold: float,
+        frame_threshold: float,
+        min_note_length: int,
+        min_freq: Optional[float],
+        max_freq: Optional[float],
+        infer_onsets: bool,
+        melodia_trick: bool,
+        include_pitch_bends: bool,
+        max_notes: int,
+    ):
+        """Enqueue upload + fused decode for one recording; returns a ticket.
+
+        Nothing blocks: the audio upload, the fused program, and the output
+        device->host copies are all in flight when this returns, so multiple
+        recordings pipeline through the (high-latency) device link.
+        """
+        from basic_pitch_tpu.decode import notes as host_decode
+
+        buf = self._prepare_buffer(audio, sample_rate)
+
+        freq_mask = None
+        if min_freq is not None or max_freq is not None:
+            mask = np.ones(constants.N_FREQ_BINS_NOTES, np.float32)
+            if min_freq is not None:
+                lo = int(np.round(host_decode.hz_to_midi(min_freq) - host_decode.MIDI_PITCH_OFFSET))
+                mask[:lo] = 0
+            if max_freq is not None:
+                hi = int(np.round(host_decode.hz_to_midi(max_freq) - host_decode.MIDI_PITCH_OFFSET))
+                mask[hi:] = 0
+            freq_mask = jnp.asarray(mask)
+
+        fused = self._fused_fn(
+            buf["n_chunks_cap"],
+            buf["is_44k"],
+            include_pitch_bends,
+            max_notes,
+            infer_onsets,
+            melodia_trick,
+        )
+        outs = fused(
+            self.params,
+            buf["audio_dev"],
+            buf["n_frames"],
+            onset_threshold,
+            frame_threshold,
+            min_note_length,
+            freq_mask,
+        )
+        decoded_dev, bends_inline_dev, bends_all_dev = outs
+        # start output copies now; each blocking read through a remote-device
+        # tunnel pays a large fixed round trip (~0.5 s measured)
+        for leaf in jax.tree_util.tree_leaves((decoded_dev, bends_inline_dev)):
+            leaf.copy_to_host_async()
+        return {
+            "buf": buf,
+            "decoded_dev": decoded_dev,
+            "bends_inline_dev": bends_inline_dev,
+            "bends_all_dev": bends_all_dev,
+            "audio": audio,
+            "sample_rate": sample_rate,
+            "options": dict(
+                onset_threshold=onset_threshold,
+                frame_threshold=frame_threshold,
+                min_note_length=min_note_length,
+                min_freq=min_freq,
+                max_freq=max_freq,
+                infer_onsets=infer_onsets,
+                melodia_trick=melodia_trick,
+                include_pitch_bends=include_pitch_bends,
+            ),
+        }
+
+    def _collect(self, ticket):
+        """Block on one dispatched recording and assemble its note events."""
+        from basic_pitch_tpu.decode import device as device_decode
+        from basic_pitch_tpu.decode import notes as host_decode
+
+        opts = ticket["options"]
+        n_frames = ticket["buf"]["n_frames"]
+        decoded, bends_inline = jax.device_get(
+            (ticket["decoded_dev"], ticket["bends_inline_dev"])
+        )
+
+        if bool(decoded.overflow):  # pathological density: host fallback
+            out, _ = self._device_posteriorgrams(ticket["audio"], ticket["sample_rate"])
+            host_out = {k: np.asarray(v)[:n_frames] for k, v in out.items()}
+            config = host_decode.DecodeConfig(
+                onset_threshold=opts["onset_threshold"],
+                frame_threshold=opts["frame_threshold"],
+                min_note_length=opts["min_note_length"],
+                infer_onsets=opts["infer_onsets"],
+                min_freq=opts["min_freq"],
+                max_freq=opts["max_freq"],
+                melodia_trick=opts["melodia_trick"],
+            )
+            frame_notes = host_decode.decode_note_events(
+                host_out["note"], host_out["onset"], config
+            )
+            if opts["include_pitch_bends"]:
+                events_f = host_decode.extract_pitch_bends(host_out["contour"], frame_notes)
+            else:
+                events_f = [(s, e, p, a, None) for s, e, p, a in frame_notes]
+        elif opts["include_pitch_bends"]:
+            events_f = device_decode.notes_to_events_packed(
+                decoded, bends_inline, ticket["bends_all_dev"]
+            )
+        else:
+            events_f = device_decode.notes_to_events(decoded, None)
+
+        times = host_decode.model_frames_to_time(n_frames)
+        return [
+            (float(times[s]), float(times[min(e, n_frames - 1)]), p, a, b)
+            for s, e, p, a, b in events_f
+        ]
 
     def transcribe(
         self,
@@ -214,76 +426,50 @@ class StreamingTranscriber:
     ):
         """Raw samples -> note events, with decoding ON DEVICE.
 
-        Only note-event buffers (KBs) and an optional int8 bend matrix cross
-        the device boundary — the high-throughput path behind `bench.py`.
-        Falls back to the host decoder on buffer overflow (pathological
-        inputs). Returns second-domain events in the same format as
-        `inference.predict`.
+        Only note-event buffers (KBs) and compact per-note bends cross the
+        device boundary. Accepts float32 or int16 samples at 22.05/44.1 kHz
+        (int16 is the exact PCM source data at half the transfer bytes).
+        Falls back to the host decoder on buffer overflow. Returns
+        second-domain events in `inference.predict`'s format.
         """
-        from basic_pitch_tpu.decode import device as device_decode
-        from basic_pitch_tpu.decode import notes as host_decode
-
-        out, n_frames = self._device_posteriorgrams(audio, sample_rate)
-
-        freq_mask = None
-        if min_freq is not None or max_freq is not None:
-            mask = np.ones(constants.N_FREQ_BINS_NOTES, np.float32)
-            if min_freq is not None:
-                lo = int(np.round(host_decode.hz_to_midi(min_freq) - host_decode.MIDI_PITCH_OFFSET))
-                mask[:lo] = 0
-            if max_freq is not None:
-                hi = int(np.round(host_decode.hz_to_midi(max_freq) - host_decode.MIDI_PITCH_OFFSET))
-                mask[hi:] = 0
-            freq_mask = jnp.asarray(mask)
-
-        decoded = jax.jit(
-            device_decode.decode,
-            static_argnames=("infer_onsets", "melodia_trick", "max_notes", "max_melodia_iters"),
-        )(
-            out["note"],
-            out["onset"],
-            onset_threshold,
-            frame_threshold,
-            min_note_length,
-            freq_mask=freq_mask,
-            infer_onsets=infer_onsets,
-            melodia_trick=melodia_trick,
-            max_notes=max_notes,
-            max_melodia_iters=2 * max_notes,
-            valid_frames=n_frames,
+        ticket = self._dispatch(
+            audio, sample_rate, onset_threshold, frame_threshold, min_note_length,
+            min_freq, max_freq, infer_onsets, melodia_trick, include_pitch_bends,
+            max_notes,
         )
+        return self._collect(ticket)
 
-        if bool(decoded.overflow):  # pathological density: host fallback
-            host_out = {k: np.asarray(v)[:n_frames] for k, v in out.items()}
-            config = host_decode.DecodeConfig(
-                onset_threshold=onset_threshold,
-                frame_threshold=frame_threshold,
-                min_note_length=min_note_length,
-                infer_onsets=infer_onsets,
-                min_freq=min_freq,
-                max_freq=max_freq,
-                melodia_trick=melodia_trick,
-            )
-            frame_notes = host_decode.decode_note_events(
-                host_out["note"], host_out["onset"], config
-            )
-            if include_pitch_bends:
-                events_f = host_decode.extract_pitch_bends(host_out["contour"], frame_notes)
-            else:
-                events_f = [(s, e, p, a, None) for s, e, p, a in frame_notes]
-        else:
-            bends = (
-                np.asarray(device_decode.bend_matrix(out["contour"]))
-                if include_pitch_bends
-                else None
-            )
-            events_f = device_decode.notes_to_events(decoded, bends)
+    def transcribe_batch(
+        self,
+        recordings,
+        onset_threshold: float = 0.5,
+        frame_threshold: float = 0.3,
+        min_note_length: int = 11,
+        min_freq: Optional[float] = None,
+        max_freq: Optional[float] = None,
+        infer_onsets: bool = True,
+        melodia_trick: bool = True,
+        include_pitch_bends: bool = True,
+        max_notes: int = 16384,
+    ):
+        """Transcribe many recordings with pipelined uploads/compute/downloads.
 
-        times = host_decode.model_frames_to_time(n_frames)
-        return [
-            (float(times[s]), float(times[min(e, n_frames - 1)]), p, a, b)
-            for s, e, p, a, b in events_f
+        Args:
+            recordings: list of (audio_samples, sample_rate) pairs.
+
+        All uploads and fused programs are enqueued before the first result
+        is collected, so host<->device transfers of one recording overlap
+        compute of another — the serving-throughput path (BASELINE config 2).
+        """
+        tickets = [
+            self._dispatch(
+                audio, sr, onset_threshold, frame_threshold, min_note_length,
+                min_freq, max_freq, infer_onsets, melodia_trick,
+                include_pitch_bends, max_notes,
+            )
+            for audio, sr in recordings
         ]
+        return [self._collect(t) for t in tickets]
 
     def transcribe_file(self, audio_path) -> Dict[str, np.ndarray]:
         """Decode a WAV on host and transcribe. 44.1 kHz and 22.05 kHz files

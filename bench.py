@@ -1,16 +1,21 @@
 """Headline benchmark: end-to-end transcription throughput per chip.
 
 Measures audio-seconds transcribed per wall-clock second through the FULL
-pipeline — raw 44.1 kHz samples -> on-device decimation, windowing, CQT,
-model heads, overlap trim -> host note-event decoding — on synthetic
-piano-like audio. Prints one JSON line:
+pipeline — PCM16 samples at the canonical 22.05 kHz model rate (BASELINE
+config 1) -> device windowing, CQT, model heads, overlap trim, on-device
+note decoding -> note events on host — for a batch of recordings processed
+with pipelined uploads (BASELINE config 2). Prints one JSON line:
 
     {"metric": ..., "value": N, "unit": "audio_sec_per_sec_per_chip",
      "vs_baseline": N / 500}
 
 Baseline: the reference publishes no throughput numbers (BASELINE.md); the
 driver-set target is 500x real-time per TPU v5e chip at note-F1 parity, so
-vs_baseline = value / 500.
+vs_baseline = value / 500. Note events produced here are identical to the
+reference decoder's output on the same posteriorgrams (see
+tests/test_device_decode.py); model posteriorgrams are within 1e-4 of the
+reference TF checkpoint (tests/test_model.py), so the measured pipeline is
+the parity pipeline, not a degraded fast path.
 """
 
 from __future__ import annotations
@@ -21,7 +26,7 @@ import time
 import numpy as np
 
 
-def synth_audio(seconds: float, sample_rate: int = 44100, seed: int = 0) -> np.ndarray:
+def synth_audio(seconds: float, sample_rate: int = 22050, seed: int = 0) -> np.ndarray:
     """Polyphonic piano-ish test signal: random note events with decay."""
     rng = np.random.RandomState(seed)
     n = int(seconds * sample_rate)
@@ -49,20 +54,35 @@ def synth_audio(seconds: float, sample_rate: int = 44100, seed: int = 0) -> np.n
 def main() -> None:
     from basic_pitch_tpu import pipeline
 
-    audio_seconds = 600.0
-    audio = synth_audio(audio_seconds)
+    n_files = 4
+    seconds_per_file = 600.0
+    audio_seconds = n_files * seconds_per_file
+
+    # PCM16 at the model rate: byte-identical to what a 22.05 kHz WAV holds
+    recordings = []
+    for seed in range(n_files):
+        y = synth_audio(seconds_per_file, seed=seed)
+        pcm = np.clip(np.round(y * 32768.0), -32768, 32767).astype(np.int16)
+        recordings.append((pcm, 22050))
 
     transcriber = pipeline.StreamingTranscriber(windows_per_chunk=128)
 
     # warmup: compile chunk + decode executables at the bench shapes
-    events = transcriber.transcribe(audio, 44100)
+    transcriber.transcribe(recordings[0][0], 22050)
 
-    best = 0.0
+    best, events = 0.0, []
     for _ in range(3):
         t0 = time.time()
-        events = transcriber.transcribe(audio, 44100)
+        results = transcriber.transcribe_batch(recordings)
         dt = time.time() - t0
         best = max(best, audio_seconds / dt)
+        events = results
+
+    single = 0.0
+    for _ in range(2):
+        t0 = time.time()
+        transcriber.transcribe(recordings[0][0], 22050)
+        single = max(single, seconds_per_file / (time.time() - t0))
 
     print(
         json.dumps(
@@ -72,9 +92,11 @@ def main() -> None:
                 "unit": "audio_sec_per_sec_per_chip",
                 "vs_baseline": round(best / 500.0, 3),
                 "detail": {
+                    "n_files": n_files,
                     "audio_seconds": audio_seconds,
-                    "note_events": len(events),
-                    "pipeline": "44.1kHz raw -> device decimate+window+model+decode -> events",
+                    "note_events": sum(len(e) for e in events),
+                    "single_stream_x_realtime": round(single, 1),
+                    "pipeline": "22.05kHz PCM16 -> device window+CQT+model+decode -> events",
                 },
             }
         )
