@@ -1,0 +1,191 @@
+"""``basic-pitch-train`` command-line interface + training driver.
+
+Flag surface mirrors the reference trainer
+(`/root/reference/basic_pitch/train.py:171-288`), including the per-dataset
+booleans generated from DATASET_SAMPLING_FREQUENCY and normalized sampling
+weights; the execution path is the framework's jitted (optionally
+multi-chip) train loop.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import pathlib
+from datetime import datetime, timezone
+from typing import List, Optional
+
+import numpy as np
+
+from basic_pitch_tpu import constants
+
+logging.basicConfig(level=logging.INFO)
+
+
+def main(
+    source: str,
+    output: str,
+    batch_size: int,
+    shuffle_size: int,
+    learning_rate: float,
+    epochs: int,
+    steps_per_epoch: int,
+    validation_steps: int,
+    size_evaluation_callback_datasets: int,
+    datasets_to_use: List[str],
+    dataset_sampling_frequency: np.ndarray,
+    no_sonify: bool,
+    no_contours: bool,
+    weighted_onset_loss: bool,
+    positive_onset_weight: float,
+    data_parallel: bool = True,
+) -> None:
+    """Build datasets, model, and callbacks, then run the fit loop."""
+    import jax
+
+    from basic_pitch_tpu.data import loader
+    from basic_pitch_tpu.models import nmp
+    from basic_pitch_tpu.parallel import mesh as mesh_lib
+    from basic_pitch_tpu.train import loop as train_loop
+    from basic_pitch_tpu.train.visualize import VisualizeCallback
+
+    logging.info("source directory: %s", source)
+    logging.info("output directory: %s", output)
+    logging.info("devices: %s", jax.devices())
+    logging.info(
+        "batch_size=%d shuffle_size=%d lr=%g epochs=%d steps/epoch=%d val_steps=%d",
+        batch_size, shuffle_size, learning_rate, epochs, steps_per_epoch, validation_steps,
+    )
+    logging.info("datasets: %s, weights: %s", datasets_to_use, dataset_sampling_frequency)
+
+    model_config = nmp.ModelConfig(no_contours=no_contours)
+    train_iter, val_iter = loader.prepare_datasets(
+        source,
+        shuffle_size,
+        batch_size,
+        validation_steps,
+        datasets_to_use,
+        dataset_sampling_frequency,
+    )
+
+    timestamp = datetime.now(timezone.utc).strftime("%Y%m%d-%H%M")
+    run_dir = pathlib.Path(output) / timestamp
+    tensorboard_log_dir = os.path.join(run_dir, "tensorboard")
+
+    callbacks = []
+    if size_evaluation_callback_datasets > 0:
+        viz_train = loader.example_stream(
+            "train", source, datasets_to_use, dataset_sampling_frequency,
+            n_samples_per_track=1, seed=0,
+        )
+        viz_val = loader.example_stream(
+            "validation", source, datasets_to_use, dataset_sampling_frequency,
+            n_samples_per_track=1,
+        )
+        viz_batch = min(size_evaluation_callback_datasets, 4)
+        callbacks.append(
+            VisualizeCallback(
+                loader._prefetch(loader._batched(viz_train, viz_batch), 1),
+                loader._prefetch(loader._batched(viz_val, viz_batch), 1),
+                tensorboard_log_dir,
+                sonify=not no_sonify,
+                contours=not no_contours,
+                model_config=model_config,
+            )
+        )
+
+    mesh = None
+    if data_parallel and len(jax.devices()) > 1:
+        mesh = mesh_lib.make_mesh()
+        assert batch_size % mesh.devices.size == 0, (
+            f"batch size {batch_size} must divide across {mesh.devices.size} devices"
+        )
+        logging.info("training data-parallel over %d devices", mesh.devices.size)
+
+    config = train_loop.TrainConfig(
+        learning_rate=learning_rate,
+        weighted_onset_loss=weighted_onset_loss,
+        positive_onset_weight=positive_onset_weight,
+        steps_per_epoch=steps_per_epoch,
+        validation_steps=validation_steps,
+        epochs=epochs,
+    )
+    train_loop.fit(
+        train_iter,
+        val_iter,
+        run_dir,
+        config=config,
+        model_config=model_config,
+        mesh=mesh,
+        callbacks=tuple(callbacks),
+        log=logging.info,
+    )
+
+
+def console_entry_point() -> None:
+    parser = argparse.ArgumentParser(description="Train the NMP transcription model on TPU.")
+    parser.add_argument("--source", required=True, help="directory containing <dataset>/splits/<split>/*.tfrecord")
+    parser.add_argument("--output", required=True, help="directory for checkpoints and tensorboard logs")
+    parser.add_argument("-e", "--epochs", type=int, default=500, help="number of training epochs")
+    parser.add_argument("-b", "--batch-size", type=int, default=16,
+                        help="global batch size (sharded across the device mesh)")
+    parser.add_argument("-l", "--learning-rate", type=float, default=0.001, help="Adam learning rate")
+    parser.add_argument("--steps-per-epoch", type=int, default=100, help="training batches per epoch")
+    parser.add_argument("-v", "--validation-steps", type=int, default=10,
+                        help="validation batches per validation run (positive integer)")
+    parser.add_argument("-z", "--training-shuffle-buffer-size", type=int, default=100,
+                        help="training dataset shuffle buffer size")
+    parser.add_argument("--size-evaluation-callback-datasets", type=int, default=4,
+                        help="number of examples used by the visualization callback")
+    for dataset in constants.DATASET_SAMPLING_FREQUENCY:
+        parser.add_argument(
+            f"--{dataset.lower()}",
+            action="store_true",
+            default=False,
+            help=f"use the {dataset} dataset in training",
+        )
+    parser.add_argument("--no-sonify", action="store_true", help="exclude sonifications from tensorboard")
+    parser.add_argument("--no-contours", action="store_true", help="train without supervising the contour head")
+    parser.add_argument("--weighted-onset-loss", action="store_true",
+                        help="use a class-balanced loss for onsets")
+    parser.add_argument("--positive-onset-weight", type=float, default=0.5,
+                        help="positive-class onset weight (with --weighted-onset-loss)")
+    parser.add_argument("--no-data-parallel", dest="data_parallel", action="store_false",
+                        help="disable sharding the batch across devices")
+    args = parser.parse_args()
+
+    datasets_flagged = [
+        dataset
+        for dataset in constants.DATASET_SAMPLING_FREQUENCY
+        if getattr(args, dataset.lower().replace("-", "_"))
+    ]
+    if not datasets_flagged:
+        parser.error("select at least one dataset (e.g. --guitarset)")
+    weights = np.array(
+        [constants.DATASET_SAMPLING_FREQUENCY[d] for d in datasets_flagged], np.float64
+    )
+    weights /= weights.sum()
+
+    main(
+        args.source,
+        args.output,
+        args.batch_size,
+        args.training_shuffle_buffer_size,
+        args.learning_rate,
+        args.epochs,
+        args.steps_per_epoch,
+        args.validation_steps,
+        args.size_evaluation_callback_datasets,
+        datasets_flagged,
+        weights,
+        args.no_sonify,
+        args.no_contours,
+        args.weighted_onset_loss,
+        args.positive_onset_weight,
+        args.data_parallel,
+    )
+
+
+if __name__ == "__main__":
+    console_entry_point()

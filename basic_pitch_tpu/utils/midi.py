@@ -155,6 +155,142 @@ class MidiFile:
         return y.astype(np.float32)
 
 
+def read_midi(path: PathLike) -> MidiFile:
+    """Parse a Standard MIDI File (formats 0/1) into the event model.
+
+    Handles running status, tempo changes (building a tick->seconds map),
+    note-on velocity 0 as note-off, program changes, and pitch bends. Used
+    by the dataset builders to derive note annotations from MIDI ground
+    truth (the role pretty_midi plays for the reference's MAESTRO/Slakh ETL).
+    """
+    with open(path, "rb") as fh:
+        data = fh.read()
+    if data[:4] != b"MThd":
+        raise ValueError(f"{path} is not a MIDI file")
+    (_, fmt, n_tracks, division) = struct.unpack(">IHHH", data[4:14])
+    if division & 0x8000:
+        raise ValueError("SMPTE time division is not supported")
+
+    # parse all tracks into (tick, order, kind, payload) events
+    tempo_changes = [(0, 500000)]  # (tick, usec per quarter)
+    tracks_events = []
+    pos = 14
+    for _ in range(n_tracks):
+        if data[pos : pos + 4] != b"MTrk":
+            raise ValueError("bad track header")
+        (length,) = struct.unpack(">I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 8 + length
+        events = []
+        tick = 0
+        cursor = 0
+        running = None
+        while cursor < len(body):
+            delta = 0
+            while True:
+                byte = body[cursor]
+                cursor += 1
+                delta = (delta << 7) | (byte & 0x7F)
+                if not byte & 0x80:
+                    break
+            tick += delta
+            status = body[cursor]
+            if status & 0x80:
+                cursor += 1
+                if status < 0xF0:
+                    running = status
+            else:
+                status = running
+            if status is None:
+                raise ValueError("running status without prior status byte")
+            if status == 0xFF:  # meta
+                meta_type = body[cursor]
+                cursor += 1
+                mlen = 0
+                while True:
+                    byte = body[cursor]
+                    cursor += 1
+                    mlen = (mlen << 7) | (byte & 0x7F)
+                    if not byte & 0x80:
+                        break
+                payload = body[cursor : cursor + mlen]
+                cursor += mlen
+                if meta_type == 0x51 and mlen == 3:
+                    tempo_changes.append((tick, int.from_bytes(payload, "big")))
+            elif status in (0xF0, 0xF7):  # sysex
+                slen = 0
+                while True:
+                    byte = body[cursor]
+                    cursor += 1
+                    slen = (slen << 7) | (byte & 0x7F)
+                    if not byte & 0x80:
+                        break
+                cursor += slen
+            else:
+                kind = status & 0xF0
+                channel = status & 0x0F
+                if kind in (0xC0, 0xD0):  # program change / channel pressure
+                    value = body[cursor]
+                    cursor += 1
+                    events.append((tick, kind, channel, value, 0))
+                else:
+                    a, b = body[cursor], body[cursor + 1]
+                    cursor += 2
+                    events.append((tick, kind, channel, a, b))
+        tracks_events.append(events)
+
+    # tick -> seconds map from the merged tempo track
+    tempo_changes.sort()
+    boundaries = []  # (tick, seconds_at_tick, usec_per_quarter)
+    seconds = 0.0
+    last_tick, last_tempo = 0, 500000
+    for tick, tempo in tempo_changes:
+        seconds += (tick - last_tick) * last_tempo / (1e6 * division)
+        boundaries.append((tick, seconds, tempo))
+        last_tick, last_tempo = tick, tempo
+
+    def tick_to_seconds(tick: int) -> float:
+        lo = 0
+        for btick, bsec, btempo in boundaries:
+            if btick <= tick:
+                lo_tick, lo_sec, lo_tempo = btick, bsec, btempo
+            else:
+                break
+        return lo_sec + (tick - lo_tick) * lo_tempo / (1e6 * division)
+
+    midi = MidiFile(resolution=division)
+    if len(tempo_changes) > 1:
+        midi.tempo = 60000000.0 / tempo_changes[1][1]
+    for events in tracks_events:
+        if not any(kind in (0x90, 0x80) for _, kind, *_ in events):
+            continue
+        instrument = Instrument()
+        active = {}  # (channel, pitch) -> (start_tick, velocity)
+        for tick, kind, channel, a, b in events:
+            if kind == 0xC0:
+                instrument.program = a
+            elif kind == 0xE0:
+                value = ((b << 7) | a) - 8192
+                instrument.pitch_bends.append(PitchBend(time=tick_to_seconds(tick), value=value))
+            elif kind == 0x90 and b > 0:
+                active.setdefault((channel, a), []).append((tick, b))
+            elif kind == 0x80 or (kind == 0x90 and b == 0):
+                stack = active.get((channel, a))
+                if stack:
+                    start_tick, velocity = stack.pop(0)
+                    instrument.notes.append(
+                        Note(
+                            start=tick_to_seconds(start_tick),
+                            end=tick_to_seconds(tick),
+                            pitch=a,
+                            velocity=velocity,
+                        )
+                    )
+        instrument.notes.sort(key=lambda n: (n.start, n.pitch))
+        midi.instruments.append(instrument)
+    return midi
+
+
 def _vlq(value: int) -> bytes:
     """MIDI variable-length quantity encoding."""
     if value < 0:

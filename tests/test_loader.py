@@ -1,0 +1,126 @@
+"""Training data loader: file ordering, windowing, weights, batching."""
+
+import numpy as np
+import pytest
+
+from basic_pitch_tpu import constants
+from basic_pitch_tpu.data import loader, serialization, tfrecord
+from basic_pitch_tpu.utils import audio as audio_io
+
+
+def _write_dataset(base, name, split, n_files=2, tracks_per_file=1, with_contours=True, seconds=5):
+    rng = np.random.RandomState(hash(name) % 2**31)
+    split_dir = base / name / "splits" / split
+    split_dir.mkdir(parents=True)
+    fps = constants.ANNOTATIONS_FPS
+    for i in range(n_files):
+        path = split_dir / f"{i}.tfrecord"
+        with tfrecord.TFRecordWriter(path) as writer:
+            for t in range(tracks_per_file):
+                audio = (rng.randn(22050 * seconds) * 0.1).astype(np.float32)
+                import io as _io
+
+                wav_buf = _io.BytesIO()
+                # write via temp file API
+                tmp = split_dir / "tmp.wav"
+                audio_io.write_wav(tmp, audio, 22050)
+                wav_bytes = tmp.read_bytes()
+                tmp.unlink()
+                n_frames = fps * seconds
+                notes_idx = [(f, 40) for f in range(10, n_frames, 17)]
+                record = serialization.to_transcription_example(
+                    f"{name}-{i}-{t}",
+                    name,
+                    wav_bytes,
+                    notes_indices=notes_idx,
+                    notes_values=[1.0] * len(notes_idx),
+                    onsets_indices=notes_idx,
+                    onsets_values=[1.0] * len(notes_idx),
+                    contours_indices=[(f, 120) for f, _ in notes_idx] if with_contours else [],
+                    contours_values=[1.0] * len(notes_idx) if with_contours else [],
+                    notes_onsets_shape=(n_frames, 88),
+                    contours_shape=(n_frames, 264) if with_contours else (0, 0),
+                )
+                writer.write(record)
+
+
+@pytest.fixture()
+def data_dir(tmp_path):
+    for name in ("setA", "setB"):
+        _write_dataset(tmp_path, name, "train")
+        _write_dataset(tmp_path, name, "validation")
+    return tmp_path
+
+
+def test_train_file_order_weighted():
+    import random
+
+    files = {"a": ["a1", "a2", "a3"], "b": ["b1", "b2", "b3"]}
+    order = list(loader.train_file_order(files, np.array([1.0, 1.0]), random.Random(0)))
+    # stops when the first pool dries up; every yielded file unique
+    assert len(order) == len(set(order))
+    assert 3 <= len(order) <= 6
+
+
+def test_validation_file_order_round_robin():
+    files = {"a": ["a1", "a2"], "b": ["b1"]}
+    order = list(loader.validation_file_order(files))
+    assert sorted(order) == ["a1", "a2", "b1"]
+    assert order[0].startswith("a") and order[1].startswith("b")
+
+
+def test_example_stream_shapes(data_dir):
+    stream = loader.example_stream(
+        "train", str(data_dir), ["setA", "setB"], [0.5, 0.5], seed=0
+    )
+    item = next(stream)
+    assert item["audio"].shape == (constants.AUDIO_N_SAMPLES,)
+    assert item["targets"]["note"].shape == (172, 88)
+    assert item["targets"]["contour"].shape == (172, 264)
+    assert item["weights"]["note"] == 1.0
+
+
+def test_missing_dataset_raises(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        next(loader.example_stream("train", str(tmp_path), ["nope"], [1.0]))
+
+
+def test_weights_zero_for_missing_annotations(tmp_path):
+    _write_dataset(tmp_path, "noc", "train", with_contours=False)
+    stream = loader.example_stream("train", str(tmp_path), ["noc"], [1.0], seed=1)
+    item = next(stream)
+    assert item["weights"]["contour"] == 0.0
+    assert item["weights"]["note"] == 1.0
+    assert item["targets"]["contour"].shape == (172, 264)
+    assert item["targets"]["contour"].sum() == 0.0
+
+
+def test_prepare_datasets_batches(data_dir):
+    train_iter, val_iter = loader.prepare_datasets(
+        str(data_dir),
+        training_shuffle_buffer_size=8,
+        batch_size=4,
+        validation_steps=2,
+        datasets_to_use=["setA", "setB"],
+        dataset_sampling_frequency=[0.5, 0.5],
+        seed=0,
+    )
+    batch = next(train_iter)
+    assert batch["audio"].shape == (4, constants.AUDIO_N_SAMPLES)
+    assert batch["targets"]["onset"].shape == (4, 172, 88)
+    assert batch["weights"]["onset"].shape == (4,)
+    # validation cycles the same cached batches
+    v1 = next(val_iter)
+    v2 = next(val_iter)
+    v3 = next(val_iter)
+    np.testing.assert_array_equal(v1["audio"], v3["audio"])
+    assert v1["audio"].shape == (4, constants.AUDIO_N_SAMPLES)
+
+
+def test_pairs_mixing(data_dir):
+    stream = loader.example_stream(
+        "train", str(data_dir), ["setA"], [1.0], pairs=True, seed=3
+    )
+    items = [next(stream) for _ in range(12)]
+    assert all(i["audio"].shape == (constants.AUDIO_N_SAMPLES,) for i in items)
+    assert all(max(i["targets"]["note"].max(), 0) <= 1.0 for i in items)

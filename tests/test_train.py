@@ -1,0 +1,131 @@
+"""Training stack: losses, train step, end-to-end fit on synthetic data.
+
+Mirrors the reference's strategy of training a real model for a couple of
+epochs on random-data pipelines (`/root/reference/tests/test_nn.py:37-125`,
+`tests/test_callbacks.py:27-61`).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from basic_pitch_tpu import constants
+from basic_pitch_tpu.models import nmp
+from basic_pitch_tpu.train import loop as train_loop
+from basic_pitch_tpu.train import losses
+
+
+def _random_batch(rng, batch_size=2):
+    return {
+        "audio": rng.randn(batch_size, constants.AUDIO_N_SAMPLES).astype(np.float32) * 0.1,
+        "targets": {
+            "contour": rng.rand(batch_size, 172, 264).astype(np.float32),
+            "note": rng.rand(batch_size, 172, 88).astype(np.float32),
+            "onset": (rng.rand(batch_size, 172, 88) > 0.95).astype(np.float32),
+        },
+        "weights": {k: np.ones(batch_size, np.float32) for k in ("contour", "note", "onset")},
+    }
+
+
+def test_transcription_loss_matches_bce():
+    y_true = jnp.asarray([[0.0, 1.0, 0.5]])
+    y_pred = jnp.asarray([[0.1, 0.9, 0.5]])
+    out = losses.transcription_loss(y_true, y_pred, label_smoothing=0.0)
+    expected = -np.mean(
+        [np.log(0.9), np.log(0.9), 0.5 * np.log(0.5) + 0.5 * np.log(0.5)]
+    )
+    assert float(out[0]) == pytest.approx(expected, rel=1e-5)
+
+
+def test_label_smoothing_pulls_towards_half():
+    y_true = jnp.asarray([[1.0]])
+    y_pred = jnp.asarray([[0.8]])
+    hard = float(losses.transcription_loss(y_true, y_pred, 0.0)[0])
+    smooth = float(losses.transcription_loss(y_true, y_pred, 0.2)[0])
+    assert smooth > hard  # smoothed target (0.9) penalizes confident 0.8 more
+
+
+def test_weighted_transcription_loss_balances_classes():
+    y_true = jnp.asarray([[0.0] * 99 + [1.0]])
+    y_pred = jnp.full((1, 100), 0.5)
+    unweighted = float(jnp.mean(losses.transcription_loss(y_true, y_pred, 0.0)))
+    weighted = float(losses.weighted_transcription_loss(y_true, y_pred, 0.0, positive_weight=0.5))
+    # both classes predict 0.5 -> same loss; now skew predictions
+    y_pred2 = jnp.asarray([[0.1] * 99 + [0.1]])
+    w2 = float(losses.weighted_transcription_loss(y_true, y_pred2, 0.0, positive_weight=0.5))
+    # positive example (pred 0.1, true 1) contributes half the loss despite 1/100 frequency
+    assert w2 > unweighted
+
+
+def test_sample_weights_zero_out_heads():
+    rng = np.random.RandomState(0)
+    batch = _random_batch(rng)
+    outputs = {k: jnp.asarray(np.clip(v * 0.5 + 0.25, 1e-4, 1 - 1e-4)) for k, v in batch["targets"].items()}
+    weights_on = {k: jnp.ones(2) for k in outputs}
+    weights_off = {"contour": jnp.zeros(2), "note": jnp.ones(2), "onset": jnp.ones(2)}
+    total_on, _ = losses.total_loss(outputs, batch["targets"], weights_on)
+    total_off, per_head = losses.total_loss(outputs, batch["targets"], weights_off)
+    assert float(per_head["contour"]) == 0.0
+    assert float(total_off) < float(total_on)
+
+
+def test_train_step_reduces_loss():
+    rng = np.random.RandomState(0)
+    config = train_loop.TrainConfig(learning_rate=5e-3)
+    optimizer = train_loop.make_optimizer(config)
+    params = nmp.init_params(jax.random.PRNGKey(0))
+    opt_state = optimizer.init(params)
+    step = train_loop.build_train_step(optimizer, config)
+    batch = _random_batch(rng)
+    params, opt_state, m0 = step(params, opt_state, batch)
+    for _ in range(3):
+        params, opt_state, m = step(params, opt_state, batch)
+    assert float(m["loss"]) < float(m0["loss"])
+    # unit-norm constraint holds after stepping
+    w = params["note_conv"]["w"]
+    norms = np.asarray(jnp.sqrt(jnp.sum(w**2, axis=(0, 1, 2))))
+    np.testing.assert_allclose(norms, 1.0, atol=1e-4)
+
+
+def test_fit_end_to_end(tmp_path):
+    rng = np.random.RandomState(1)
+
+    def iterator():
+        while True:
+            yield _random_batch(rng)
+
+    config = train_loop.TrainConfig(
+        epochs=2, steps_per_epoch=2, validation_steps=1, learning_rate=1e-3
+    )
+    best = train_loop.fit(
+        iterator(), iterator(), tmp_path, config=config, log=lambda *_: None
+    )
+    assert (tmp_path / "model.best.npz").exists()
+    assert (tmp_path / "checkpoints" / "model.00.npz").exists()
+    assert (tmp_path / "checkpoints" / "model.01.npz").exists()
+    # the saved best params load and run
+    from basic_pitch_tpu.models import params as params_io
+
+    loaded = params_io.load_params(tmp_path / "model.best.npz")
+    out = nmp.predict_fn(loaded, jnp.zeros((1, constants.AUDIO_N_SAMPLES)))
+    assert out["note"].shape == (1, 172, 88)
+
+
+def test_visualize_callback_writes_events(tmp_path):
+    pytest.importorskip("tensorboardX")
+    from basic_pitch_tpu.train.visualize import VisualizeCallback
+
+    rng = np.random.RandomState(2)
+
+    def viz_iter():
+        while True:
+            yield _random_batch(rng)
+
+    params = nmp.init_params(jax.random.PRNGKey(0))
+    cb = VisualizeCallback(viz_iter(), viz_iter(), str(tmp_path), sonify=False)
+    cb(0, params, {"loss": 1.0}, {"loss": 2.0})
+    cb.close()
+    files = list(tmp_path.glob("events.out.tfevents.*"))
+    assert files and files[0].stat().st_size > 0
