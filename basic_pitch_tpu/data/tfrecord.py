@@ -37,7 +37,12 @@ _TABLE = _make_table()
 
 
 def crc32c(data: bytes) -> int:
-    """CRC-32C (Castagnoli), table-driven."""
+    """CRC-32C (Castagnoli); native slice-by-8 when available."""
+    from basic_pitch_tpu import native
+
+    fast = native.crc32c(data)
+    if fast is not None:
+        return fast
     crc = 0xFFFFFFFF
     table = _TABLE
     for byte in data:

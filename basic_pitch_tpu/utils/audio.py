@@ -134,6 +134,48 @@ def write_wav(path: PathLike, samples: np.ndarray, sample_rate: int) -> None:
         fh.write(payload)
 
 
+def read_wav_mono(path: PathLike) -> Tuple[np.ndarray, int]:
+    """Decode a WAV straight to float32 mono, using the native library's
+    fused decode+mixdown when available."""
+    with open(path, "rb") as fh:
+        raw = fh.read()
+    header = _parse_wav_header(raw)
+    if header is not None:
+        from basic_pitch_tpu import native
+
+        audio_format, n_channels, sample_rate, bits, payload = header
+        decoded = native.decode_pcm_mono(
+            payload, bits, audio_format == WAVE_FORMAT_IEEE_FLOAT, n_channels
+        )
+        if decoded is not None:
+            return decoded, sample_rate
+    samples, sample_rate = read_wav_bytes(raw, name=str(path))
+    return to_mono(samples), sample_rate
+
+
+def _parse_wav_header(raw: bytes):
+    """(format, channels, rate, bits, payload) or None when not plain WAV."""
+    if len(raw) < 12 or raw[:4] != _RIFF or raw[8:12] != _WAVE:
+        return None
+    fmt = data = None
+    pos = 12
+    while pos + 8 <= len(raw):
+        chunk_id = raw[pos : pos + 4]
+        (chunk_size,) = struct.unpack_from("<I", raw, pos + 4)
+        body = raw[pos + 8 : pos + 8 + chunk_size]
+        if chunk_id == _FMT:
+            fmt = body
+        elif chunk_id == _DATA:
+            data = body
+        pos += 8 + chunk_size + (chunk_size & 1)
+    if fmt is None or data is None:
+        return None
+    audio_format, n_channels, sample_rate, _, _, bits = struct.unpack_from("<HHIIHH", fmt, 0)
+    if audio_format == WAVE_FORMAT_EXTENSIBLE and len(fmt) >= 26:
+        (audio_format,) = struct.unpack_from("<H", fmt, 24)
+    return audio_format, n_channels, sample_rate, bits, data
+
+
 def to_mono(samples: np.ndarray) -> np.ndarray:
     """Mix down (n_frames, n_channels) to (n_frames,) by channel mean."""
     if samples.ndim == 1:
@@ -163,6 +205,13 @@ def resample(x: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
     # two Nyquist frequencies: min(1/up, 1/down) in normalized units
     half_len = 64 * max(up, down)
     taps = firwin(2 * half_len + 1, min(1.0 / up, 1.0 / down), window=("kaiser", 14.77))
+    if up == 1:  # pure decimation: native fast path when the library is built
+        from basic_pitch_tpu import native
+
+        n_out = int(np.ceil(len(x) / down))
+        fast = native.resample_poly(np.asarray(x, np.float32), up, down, taps, n_out)
+        if fast is not None:
+            return fast
     y = resample_poly(np.asarray(x, dtype=np.float64), up, down, window=taps * up)
     n_out = int(np.ceil(len(x) * sr_out / sr_in))
     if len(y) < n_out:
@@ -176,7 +225,9 @@ def load_audio(path: PathLike, sample_rate: int, mono: bool = True) -> Tuple[np.
     The host-side analogue of the reference's librosa load
     (`/root/reference/basic_pitch/inference.py:239`).
     """
-    samples, sr = read_wav(path)
-    y = to_mono(samples) if mono else samples
+    if mono:
+        y, sr = read_wav_mono(path)
+    else:
+        y, sr = read_wav(path)
     y = resample(y, sr, sample_rate)
     return np.ascontiguousarray(y, dtype=np.float32), sample_rate
