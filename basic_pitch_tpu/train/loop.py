@@ -157,6 +157,34 @@ def build_eval_step(
     return jax.jit(step, in_shardings=(rep, batch_shardings), out_shardings=rep)
 
 
+def save_train_state(path: pathlib.Path, params, opt_state, extra: Dict) -> None:
+    """Full-state checkpoint (params + optimizer + bookkeeping) via orbax."""
+    import orbax.checkpoint as ocp
+
+    path = pathlib.Path(path).resolve()
+    checkpointer = ocp.StandardCheckpointer()
+    checkpointer.save(
+        path,
+        {"params": jax.device_get(params), "opt_state": jax.device_get(opt_state), "extra": extra},
+        force=True,
+    )
+    checkpointer.wait_until_finished()
+
+
+def restore_train_state(path: pathlib.Path, params_template, opt_state_template):
+    """Restore a checkpoint written by `save_train_state`."""
+    import orbax.checkpoint as ocp
+
+    checkpointer = ocp.StandardCheckpointer()
+    template = {
+        "params": jax.device_get(params_template),
+        "opt_state": jax.device_get(opt_state_template),
+        "extra": {"epoch": 0, "best_val": 0.0, "epochs_since_best": 0, "lr": 0.0},
+    }
+    restored = checkpointer.restore(pathlib.Path(path).resolve(), template)
+    return restored["params"], restored["opt_state"], restored["extra"]
+
+
 def fit(
     train_iter: Iterator[Batch],
     val_iter: Iterator[Batch],
@@ -168,32 +196,45 @@ def fit(
     seed: int = 0,
     callbacks: Tuple[Callable, ...] = (),
     log: Callable[[str], None] = print,
+    resume: bool = True,
 ) -> Dict:
     """Keras-fit-like driver with plateau LR reduction, early stopping, and
-    best/per-epoch checkpoints (`train.py:126-168` behaviors).
+    best/per-epoch checkpoints (`train.py:126-168` behaviors), plus full
+    orbax state checkpointing with automatic resume — which the reference
+    lacks entirely (SURVEY §5: "No resume logic").
 
     Callbacks are called as cb(epoch, params, train_metrics, val_metrics).
     Returns the best parameters.
     """
     output_dir = pathlib.Path(output_dir)
     (output_dir / "checkpoints").mkdir(parents=True, exist_ok=True)
+    state_dir = output_dir / "train_state"
 
     params = init if init is not None else nmp.init_params(jax.random.PRNGKey(seed), model_config)
     optimizer = make_optimizer(config)
     opt_state = optimizer.init(params)
+
+    best_val = np.inf
+    epochs_since_best = 0
+    lr = config.learning_rate
+    start_epoch = 0
+    if resume and state_dir.exists():
+        params, opt_state, extra = restore_train_state(state_dir, params, opt_state)
+        start_epoch = int(extra["epoch"]) + 1
+        best_val = float(extra["best_val"])
+        epochs_since_best = int(extra["epochs_since_best"])
+        lr = float(extra["lr"])
+        log(f"resumed from {state_dir} at epoch {start_epoch} (best_val={best_val:.4f})")
+
     if mesh is not None:
         params = mesh_lib.replicate(mesh, params)
         opt_state = mesh_lib.replicate(mesh, opt_state)
 
     train_step = build_train_step(optimizer, config, model_config, mesh)
     eval_step = build_eval_step(config, model_config, mesh)
-
-    best_val = np.inf
     best_params = params
-    epochs_since_best = 0
-    lr = config.learning_rate
 
-    for epoch in range(config.epochs):
+    for epoch in range(start_epoch, config.epochs):
         t0 = time.time()
         train_metrics = []
         for _ in range(config.steps_per_epoch):
@@ -233,6 +274,19 @@ def fit(
             lr *= config.lr_reduction_factor
             opt_state.hyperparams["learning_rate"] = jnp.asarray(lr)
             log(f"  reducing learning rate to {lr:.2e}")
+
+        save_train_state(
+            state_dir,
+            params,
+            opt_state,
+            {
+                "epoch": epoch,
+                "best_val": float(best_val),
+                "epochs_since_best": epochs_since_best,
+                "lr": float(lr),
+            },
+        )
+
         if epochs_since_best >= config.early_stop_patience:
             log(f"  early stopping at epoch {epoch}")
             break

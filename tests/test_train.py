@@ -129,3 +129,66 @@ def test_visualize_callback_writes_events(tmp_path):
     cb.close()
     files = list(tmp_path.glob("events.out.tfevents.*"))
     assert files and files[0].stat().st_size > 0
+
+
+def test_fit_resume(tmp_path):
+    """Killing training after epoch 0 and refitting resumes from the orbax
+    state instead of restarting (a capability the reference lacks)."""
+    rng = np.random.RandomState(3)
+
+    def iterator():
+        while True:
+            yield _random_batch(rng)
+
+    logs = []
+    config = train_loop.TrainConfig(epochs=1, steps_per_epoch=1, validation_steps=1)
+    train_loop.fit(iterator(), iterator(), tmp_path, config=config, log=logs.append)
+    assert (tmp_path / "train_state").exists()
+
+    config2 = train_loop.TrainConfig(epochs=3, steps_per_epoch=1, validation_steps=1)
+    logs2 = []
+    train_loop.fit(iterator(), iterator(), tmp_path, config=config2, log=logs2.append)
+    assert any("resumed" in str(line) for line in logs2)
+    # epochs 1 and 2 ran; epoch 0 did not repeat
+    assert (tmp_path / "checkpoints" / "model.02.npz").exists()
+    assert not any("epoch 0:" in str(line) for line in logs2)
+
+
+def test_profiling_timers():
+    from basic_pitch_tpu.utils.profiling import Timers
+
+    timers = Timers()
+    with timers("a"):
+        pass
+    with timers("a"):
+        pass
+    with timers("b"):
+        pass
+    rows = {name: count for name, _, count in timers.summary()}
+    assert rows == {"a": 2, "b": 1}
+    assert "a" in timers.report()
+
+
+def test_eval_f1():
+    from basic_pitch_tpu.utils import eval as evaluation
+
+    ref = [(0.0, 1.0, 60), (1.0, 2.0, 64), (2.0, 3.0, 67)]
+    est = [(0.01, 1.1, 60), (1.04, 2.2, 64), (2.5, 3.0, 67)]  # last onset too late
+    m = evaluation.precision_recall_f1(ref, est)
+    assert m["n_matched"] == 2
+    assert m["precision"] == pytest.approx(2 / 3)
+    assert m["recall"] == pytest.approx(2 / 3)
+    # pitch off by a semitone -> no match
+    m2 = evaluation.precision_recall_f1([(0.0, 1.0, 60)], [(0.0, 1.0, 61)])
+    assert m2["n_matched"] == 0
+    # offset criterion
+    m3 = evaluation.precision_recall_f1(
+        [(0.0, 1.0, 60)], [(0.0, 1.6, 60)], offset_ratio=0.2
+    )
+    assert m3["n_matched"] == 0
+    m4 = evaluation.precision_recall_f1(
+        [(0.0, 1.0, 60)], [(0.0, 1.1, 60)], offset_ratio=0.2
+    )
+    assert m4["n_matched"] == 1
+    # empty edge cases
+    assert evaluation.precision_recall_f1([], [])["f1"] == 0.0
