@@ -89,44 +89,33 @@ class StreamingTranscriber:
 
         self._chunk_fn_22k = self._build(chunk_is_44k=False)
         self._chunk_fn_44k = self._build(chunk_is_44k=True)
-        self._fused_cache = {}
+        self._piece_cache = {}
+        self._decode_cache = {}
 
     # ------------------------------------------------------------------
 
-    def _fused_fn(
-        self,
-        n_chunks: int,
-        is_44k: bool,
-        include_bends: bool,
-        max_notes: int,
-        infer_onsets: bool = True,
-        melodia_trick: bool = True,
-    ):
-        """One jitted program: scan over chunks -> posteriorgrams -> decode
-        -> bends. A single device invocation per recording, so the tunnel's
-        per-call latency is paid once instead of once per stage."""
-        key = (n_chunks, is_44k, include_bends, max_notes, infer_onsets, melodia_trick)
-        if key in self._fused_cache:
-            return self._fused_cache[key]
+    def _piece_fn(self, is_44k: bool):
+        """Jitted chunk program over an explicit audio piece (no slicing).
 
-        from basic_pitch_tpu.decode import device as device_decode
+        Pieces upload independently, so the transfer of chunk c+1 overlaps
+        the model compute of chunk c through the (high-latency) device link.
+        """
+        if is_44k in self._piece_cache:
+            return self._piece_cache[is_44k]
 
         idx = self._window_idx
         precision = self.precision
         config = self.config
-        slice_len = 2 * self.chunk_len + 2 * _DEC_HALO if is_44k else self.chunk_len
-        stride = 2 * self.w * HOP if is_44k else self.w * HOP
 
-        def one_chunk(params, audio_padded, start):
-            chunk = jax.lax.dynamic_slice(audio_padded, (start,), (slice_len,))
-            if chunk.dtype == jnp.int16:
+        def run(params, piece):
+            if piece.dtype == jnp.int16:
                 # int16 transport: the exact source PCM at half the tunnel bytes
-                chunk = chunk.astype(jnp.float32) * (1.0 / 32768.0)
+                piece = piece.astype(jnp.float32) * (1.0 / 32768.0)
             if is_44k:
-                chunk = resample_ops.decimate2(
-                    chunk, precision=precision, halo=True, n_out=self.chunk_len
+                piece = resample_ops.decimate2(
+                    piece, precision=precision, halo=True, n_out=self.chunk_len
                 )
-            windows = chunk[idx]
+            windows = piece[idx]
             out = nmp.predict_fn(params, windows, config, precision=precision)
             return {
                 k: v[:, TRIM : v.shape[1] - TRIM, :].reshape(
@@ -135,17 +124,26 @@ class StreamingTranscriber:
                 for k, v in out.items()
             }
 
-        def fused(params, audio_padded, n_frames, onset_t, frame_t, min_len, freq_mask):
-            starts = stride * jnp.arange(n_chunks, dtype=jnp.int32)
-            outs = jax.lax.map(lambda s: one_chunk(params, audio_padded, s), starts)
-            post = {k: v.reshape(-1, v.shape[-1]) for k, v in outs.items()}
+        fn = jax.jit(run)
+        self._piece_cache[is_44k] = fn
+        return fn
+
+    def _decode_fused_fn(self, include_bends: bool, max_notes: int, infer_onsets: bool, melodia_trick: bool):
+        """Jitted decode program over full concatenated posteriorgrams."""
+        key = (include_bends, max_notes, infer_onsets, melodia_trick)
+        if key in self._decode_cache:
+            return self._decode_cache[key]
+
+        from basic_pitch_tpu.decode import device as device_decode
+
+        def run(note, onset, contour, n_frames, onset_t, frame_t, min_len, freq_mask):
             # frames past the recording come from zero-padded audio, where
-            # the model still emits nonzero activations — silence them
-            valid = (jnp.arange(post["note"].shape[0])[:, None] < n_frames).astype(post["note"].dtype)
-            post = {k: v * valid for k, v in post.items()}
+            # the model still emits nonzero activations -- silence them
+            valid = (jnp.arange(note.shape[0])[:, None] < n_frames).astype(note.dtype)
+            note, onset, contour = note * valid, onset * valid, contour * valid
             decoded = device_decode.decode(
-                post["note"],
-                post["onset"],
+                note,
+                onset,
                 onset_t,
                 frame_t,
                 min_len,
@@ -157,15 +155,28 @@ class StreamingTranscriber:
                 valid_frames=n_frames,
             )
             if include_bends:
-                bends_all = device_decode.bend_matrix(post["contour"])
+                bends_all = device_decode.bend_matrix(contour)
                 bends_inline = device_decode.gather_note_bends(bends_all, decoded)
             else:
                 bends_all = bends_inline = None
             return decoded, bends_inline, bends_all
 
-        fn = jax.jit(fused)
-        self._fused_cache[key] = fn
+        fn = jax.jit(run)
+        self._decode_cache[key] = fn
         return fn
+
+    def _pieces(self, audio: np.ndarray, is_44k: bool, n_chunks: int):
+        """Host-side chunk pieces (views where possible, zero-padded edges)."""
+        pad_front = OVERLAP // 2
+        if is_44k:
+            piece_len = 2 * self.chunk_len + 2 * _DEC_HALO
+            for c in range(n_chunks):
+                lo = 2 * (c * self.w * HOP - pad_front) - _DEC_HALO
+                yield _padded_slice(audio, lo, lo + piece_len)
+        else:
+            for c in range(n_chunks):
+                lo = c * self.w * HOP - pad_front
+                yield _padded_slice(audio, lo, lo + self.chunk_len)
 
     def _build(self, chunk_is_44k: bool):
         idx = self._window_idx
@@ -305,15 +316,29 @@ class StreamingTranscriber:
         include_pitch_bends: bool,
         max_notes: int,
     ):
-        """Enqueue upload + fused decode for one recording; returns a ticket.
+        """Enqueue uploads + chunk programs + decode for one recording.
 
-        Nothing blocks: the audio upload, the fused program, and the output
-        device->host copies are all in flight when this returns, so multiple
-        recordings pipeline through the (high-latency) device link.
+        Nothing blocks: per-chunk uploads, chunk programs, the decode
+        program, and the output device->host copies are all in flight when
+        this returns — so the transfer of one chunk (or recording) overlaps
+        the compute of another through the (high-latency) device link.
         """
         from basic_pitch_tpu.decode import notes as host_decode
 
-        buf = self._prepare_buffer(audio, sample_rate)
+        if audio.dtype != np.int16:
+            audio = np.ascontiguousarray(audio, dtype=np.float32)
+        if sample_rate == constants.AUDIO_SAMPLE_RATE:
+            is_44k = False
+            original_length = len(audio)
+        elif sample_rate == 2 * constants.AUDIO_SAMPLE_RATE:
+            is_44k = True
+            original_length = resample_ops.decimate2_output_length(len(audio))
+        else:
+            raise ValueError(f"expected 22050 or 44100 Hz, got {sample_rate}")
+        pad_front = OVERLAP // 2
+        n_windows = max(1, -(-(original_length + pad_front) // HOP))
+        n_chunks = -(-n_windows // self.w)
+        n_frames = int(original_length / HOP * FRAMES_PER_WINDOW)
 
         freq_mask = None
         if min_freq is not None or max_freq is not None:
@@ -326,30 +351,38 @@ class StreamingTranscriber:
                 mask[hi:] = 0
             freq_mask = jnp.asarray(mask)
 
-        fused = self._fused_fn(
-            buf["n_chunks_cap"],
-            buf["is_44k"],
-            include_pitch_bends,
-            max_notes,
-            infer_onsets,
-            melodia_trick,
+        # chunk pieces: upload c+1 while c computes (all dispatches async)
+        piece_fn = self._piece_fn(is_44k)
+        outs = []
+        for piece in self._pieces(audio, is_44k, n_chunks):
+            outs.append(piece_fn(self.params, jax.device_put(piece)))
+        post = {k: jnp.concatenate([o[k] for o in outs]) for k in outs[0]}
+        # pad the chunk count to a pow2 bucket so the decode executable is
+        # shared across file lengths
+        bucket = 1 << max(0, (n_chunks - 1).bit_length())
+        if bucket != n_chunks:
+            extra = (bucket - n_chunks) * self.w * FRAMES_PER_WINDOW
+            post = {k: jnp.pad(v, ((0, extra), (0, 0))) for k, v in post.items()}
+
+        decode = self._decode_fused_fn(
+            include_pitch_bends, max_notes, infer_onsets, melodia_trick
         )
-        outs = fused(
-            self.params,
-            buf["audio_dev"],
-            buf["n_frames"],
+        decoded_dev, bends_inline_dev, bends_all_dev = decode(
+            post["note"],
+            post["onset"],
+            post["contour"],
+            n_frames,
             onset_threshold,
             frame_threshold,
             min_note_length,
             freq_mask,
         )
-        decoded_dev, bends_inline_dev, bends_all_dev = outs
         # start output copies now; each blocking read through a remote-device
         # tunnel pays a large fixed round trip (~0.5 s measured)
         for leaf in jax.tree_util.tree_leaves((decoded_dev, bends_inline_dev)):
             leaf.copy_to_host_async()
         return {
-            "buf": buf,
+            "n_frames": n_frames,
             "decoded_dev": decoded_dev,
             "bends_inline_dev": bends_inline_dev,
             "bends_all_dev": bends_all_dev,
@@ -373,7 +406,7 @@ class StreamingTranscriber:
         from basic_pitch_tpu.decode import notes as host_decode
 
         opts = ticket["options"]
-        n_frames = ticket["buf"]["n_frames"]
+        n_frames = ticket["n_frames"]
         decoded, bends_inline = jax.device_get(
             (ticket["decoded_dev"], ticket["bends_inline_dev"])
         )
