@@ -14,7 +14,7 @@ import logging
 import os
 import pathlib
 from datetime import datetime, timezone
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 

@@ -9,7 +9,7 @@ contours have 3x the frequency resolution.
 
 from __future__ import annotations
 
-from typing import Dict, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 

@@ -33,7 +33,7 @@ decoder oracle.
 from __future__ import annotations
 
 import functools
-from typing import Dict, NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -213,11 +213,18 @@ def decode(
     # the threshold-0 quirk admits every cell — but never padding
     onset_mask = onset_mask & (pos_t < t_end)
 
-    # order: time desc, then freq desc == descending flattened index
-    flat_idx = jnp.arange(n_frames * F, dtype=jnp.int32).reshape(n_frames, F)
-    masked = jnp.where(onset_mask, flat_idx, -1).reshape(-1)
-    k = min(max_notes, masked.shape[0])
-    onset_order, _ = jax.lax.top_k(masked, k)
+    # order: time desc, then freq desc == descending flattened index.
+    # Stable stream compaction via cumsum+scatter — a top_k over T*88
+    # elements compiles and runs far worse at long-file scale.
+    total = n_frames * F
+    k = min(max_notes, total)
+    mask_desc = onset_mask.reshape(-1)[::-1]
+    positions = jnp.cumsum(mask_desc.astype(jnp.int32)) - 1
+    dest = jnp.where(mask_desc, jnp.minimum(positions, k), k)  # k = dropped
+    flat_ids_desc = jnp.arange(total - 1, -1, -1, dtype=jnp.int32)
+    onset_order = jnp.full((k,), -1, jnp.int32).at[dest].set(
+        flat_ids_desc, mode="drop"
+    )
     n_onsets = jnp.sum(onset_mask).astype(jnp.int32)
     onset_overflow = n_onsets > k
 

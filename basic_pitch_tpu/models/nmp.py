@@ -26,7 +26,7 @@ the TPU throughput comes from (the reference runs one window per predict call,
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -25,7 +25,6 @@ the (trivial) collectives. One chunk then spans W windows across all chips.
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, Optional, Union
 
 import jax
@@ -103,6 +102,8 @@ class StreamingTranscriber:
         if is_44k in self._piece_cache:
             return self._piece_cache[is_44k]
 
+        from basic_pitch_tpu.decode import device as device_decode
+
         idx = self._window_idx
         precision = self.precision
         config = self.config
@@ -117,12 +118,16 @@ class StreamingTranscriber:
                 )
             windows = piece[idx]
             out = nmp.predict_fn(params, windows, config, precision=precision)
-            return {
+            out = {
                 k: v[:, TRIM : v.shape[1] - TRIM, :].reshape(
                     self.w * FRAMES_PER_WINDOW, v.shape[2]
                 )
                 for k, v in out.items()
             }
+            # bend matrix is frame-local: computing it per chunk keeps the
+            # (frames, 88, 51) gather bounded regardless of file length
+            out["bends"] = device_decode.bend_matrix(out.pop("contour"))
+            return out
 
         fn = jax.jit(run)
         self._piece_cache[is_44k] = fn
@@ -136,11 +141,11 @@ class StreamingTranscriber:
 
         from basic_pitch_tpu.decode import device as device_decode
 
-        def run(note, onset, contour, n_frames, onset_t, frame_t, min_len, freq_mask):
+        def run(note, onset, bends_all, n_frames, onset_t, frame_t, min_len, freq_mask):
             # frames past the recording come from zero-padded audio, where
             # the model still emits nonzero activations -- silence them
             valid = (jnp.arange(note.shape[0])[:, None] < n_frames).astype(note.dtype)
-            note, onset, contour = note * valid, onset * valid, contour * valid
+            note, onset = note * valid, onset * valid
             decoded = device_decode.decode(
                 note,
                 onset,
@@ -155,11 +160,10 @@ class StreamingTranscriber:
                 valid_frames=n_frames,
             )
             if include_bends:
-                bends_all = device_decode.bend_matrix(contour)
                 bends_inline = device_decode.gather_note_bends(bends_all, decoded)
             else:
-                bends_all = bends_inline = None
-            return decoded, bends_inline, bends_all
+                bends_inline = None
+            return decoded, bends_inline
 
         fn = jax.jit(run)
         self._decode_cache[key] = fn
@@ -367,10 +371,11 @@ class StreamingTranscriber:
         decode = self._decode_fused_fn(
             include_pitch_bends, max_notes, infer_onsets, melodia_trick
         )
-        decoded_dev, bends_inline_dev, bends_all_dev = decode(
+        bends_all_dev = post["bends"]
+        decoded_dev, bends_inline_dev = decode(
             post["note"],
             post["onset"],
-            post["contour"],
+            bends_all_dev,
             n_frames,
             onset_threshold,
             frame_threshold,

@@ -10,7 +10,7 @@ loss/max statistics. Uses tensorboardX (no TF dependency).
 
 from __future__ import annotations
 
-from typing import Dict, Iterator, Optional
+from typing import Dict, Iterator
 
 import jax
 import numpy as np
@@ -18,7 +18,6 @@ import numpy as np
 from basic_pitch_tpu import constants
 from basic_pitch_tpu.decode import export as decode_export
 from basic_pitch_tpu.models import nmp
-from basic_pitch_tpu.train import losses
 
 
 def _to_image(matrix: np.ndarray) -> np.ndarray:

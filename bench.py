@@ -71,7 +71,7 @@ def main() -> None:
     transcriber.transcribe(recordings[0][0], 22050)
 
     best, events = 0.0, []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.time()
         results = transcriber.transcribe_batch(recordings)
         dt = time.time() - t0

@@ -1,0 +1,69 @@
+"""Command-line interfaces: parser surfaces and end-to-end invocation."""
+
+import pathlib
+import sys
+
+import numpy as np
+import pytest
+
+VOCADITO = pathlib.Path("/root/reference/tests/resources/vocadito_10.wav")
+
+
+def test_predict_parser_flags():
+    from basic_pitch_tpu.cli.predict import build_parser
+
+    parser = build_parser()
+    args = parser.parse_args(
+        [
+            "/tmp/out", "a.wav", "b.wav",
+            "--onset-threshold", "0.6",
+            "--frame-threshold", "0.2",
+            "--minimum-note-length", "100",
+            "--minimum-frequency", "100",
+            "--maximum-frequency", "2000",
+            "--multiple-pitch-bends",
+            "--no-melodia",
+            "--sonify-midi",
+            "--save-model-outputs",
+            "--save-note-events",
+            "--midi-tempo", "90",
+        ]
+    )
+    assert args.audio_paths == ["a.wav", "b.wav"]
+    assert args.onset_threshold == 0.6
+    assert args.melodia_trick is False
+    assert args.multiple_pitch_bends is True
+    assert args.save_midi is True
+
+
+def test_predict_cli_end_to_end(tmp_path, monkeypatch):
+    if not VOCADITO.exists():
+        pytest.skip("test clip unavailable")
+    from basic_pitch_tpu.cli import predict as cli_predict
+
+    monkeypatch.setattr(
+        sys, "argv", ["basic-pitch", str(tmp_path), str(VOCADITO), "--save-note-events"]
+    )
+    cli_predict.main()
+    assert (tmp_path / "vocadito_10_basic_pitch.mid").exists()
+    assert (tmp_path / "vocadito_10_basic_pitch.csv").exists()
+
+
+def test_train_parser_datasets_required(monkeypatch, capsys):
+    from basic_pitch_tpu.cli.train import console_entry_point
+
+    monkeypatch.setattr(sys, "argv", ["basic-pitch-train", "--source", "/x", "--output", "/y"])
+    with pytest.raises(SystemExit):
+        console_entry_point()
+    assert "at least one dataset" in capsys.readouterr().err
+
+
+def test_download_dispatch_table():
+    from basic_pitch_tpu.cli.download import _dispatch_table
+
+    table = _dispatch_table()
+    assert set(table) == {"guitarset", "ikala", "maestro", "medleydb_pitch", "slakh"}
+    for build_parser, run in table.values():
+        parser = build_parser()
+        args = parser.parse_args(["--source", "/s", "--destination", "/d"])
+        assert args.source == "/s"
