@@ -299,8 +299,11 @@ def decode(
         t_mid = first // F
         freq = first % F
 
-        remaining = remaining.at[freq, t_mid].set(0.0)
+        # the seed cell is zeroed in the working column only; the matrix cell
+        # is zeroed together with the claimed region below (center_mask
+        # includes t_mid), avoiding a separate full-matrix scatter
         col = jax.lax.dynamic_slice(remaining, (freq, 0), (1, n_frames))[0]
+        col = jnp.where(pos == t_mid, 0.0, col)
 
         fwd_end, fwd_final = _forward_scan(col, t_mid, frame_thresh, energy_tol, t_end)
         i_end = fwd_end - 1  # reference: i_end = i_final - 1 - k_final

@@ -129,7 +129,24 @@ class StreamingTranscriber:
             out["bends"] = device_decode.bend_matrix(out.pop("contour"))
             return out
 
-        fn = jax.jit(run)
+        if self.mesh is None:
+            fn = jax.jit(run)
+        else:
+            # multi-chip: replicate the audio piece, shard the frame axis of
+            # every output — the window batch (and everything downstream of
+            # the unfold) splits across the mesh
+            pspec = jax.sharding.PartitionSpec
+            shard_frames = jax.sharding.NamedSharding(self.mesh, pspec("data"))
+            replicated = jax.sharding.NamedSharding(self.mesh, pspec())
+            fn = jax.jit(
+                run,
+                in_shardings=(replicated, replicated),
+                out_shardings={
+                    "note": shard_frames,
+                    "onset": shard_frames,
+                    "bends": shard_frames,
+                },
+            )
         self._piece_cache[is_44k] = fn
         return fn
 

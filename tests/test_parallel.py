@@ -1,0 +1,107 @@
+"""Multi-device sharding: window-parallel inference, data-parallel training.
+
+Runs on the 8 virtual CPU devices the conftest configures — the same
+mechanism the driver uses to validate multi-chip sharding without hardware.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from basic_pitch_tpu import constants, pipeline
+from basic_pitch_tpu.models import nmp
+from basic_pitch_tpu.parallel import mesh as mesh_lib
+
+needs_devices = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+
+@needs_devices
+def test_mesh_helpers():
+    mesh = mesh_lib.make_mesh()
+    assert mesh.devices.size == 8
+    x = np.zeros((16, 4), np.float32)
+    sharded = mesh_lib.shard_batch(mesh, x)
+    assert sharded.sharding.spec == jax.sharding.PartitionSpec("data")
+    replicated = mesh_lib.replicate(mesh, x)
+    assert replicated.sharding.spec == jax.sharding.PartitionSpec()
+
+
+@needs_devices
+def test_window_parallel_inference_matches_single_device(nmp_params):
+    rng = np.random.RandomState(0)
+    audio = (rng.randn(22050 * 12) * 0.1).astype(np.float32)
+
+    single = pipeline.StreamingTranscriber(windows_per_chunk=8)
+    out_single = single.posteriorgrams(audio, constants.AUDIO_SAMPLE_RATE)
+
+    mesh = mesh_lib.make_mesh()
+    sharded = pipeline.StreamingTranscriber(windows_per_chunk=8, mesh=mesh)
+    out_sharded = sharded.posteriorgrams(audio, constants.AUDIO_SAMPLE_RATE)
+
+    for key in out_single:
+        assert out_sharded[key].shape == out_single[key].shape
+        np.testing.assert_allclose(out_sharded[key], out_single[key], atol=2e-5)
+
+
+@needs_devices
+def test_window_parallel_transcribe(nmp_params):
+    rng = np.random.RandomState(1)
+    sr = constants.AUDIO_SAMPLE_RATE
+    t = np.arange(int(6.0 * sr)) / sr
+    f0 = 440.0
+    y = np.zeros_like(t, dtype=np.float32)
+    seg = slice(int(0.5 * sr), int(4.0 * sr))
+    tt = t[seg] - 0.5
+    y[seg] = (0.4 * np.exp(-0.8 * tt) * (
+        np.sin(2 * np.pi * f0 * tt) + 0.5 * np.sin(4 * np.pi * f0 * tt)
+    )).astype(np.float32)
+
+    single = pipeline.StreamingTranscriber(windows_per_chunk=8)
+    mesh = mesh_lib.make_mesh()
+    sharded = pipeline.StreamingTranscriber(windows_per_chunk=8, mesh=mesh)
+
+    ev_single = single.transcribe(y, sr)
+    ev_sharded = sharded.transcribe(y, sr)
+    assert len(ev_single) == len(ev_sharded) >= 1
+    for a, b in zip(sorted(ev_single), sorted(ev_sharded)):
+        assert a[2] == b[2]
+        assert abs(a[0] - b[0]) < 0.02 and abs(a[1] - b[1]) < 0.02
+
+
+@needs_devices
+def test_data_parallel_training_matches_single_device():
+    """One DP step over the mesh == the same step on one device."""
+    from basic_pitch_tpu.train import loop as train_loop
+
+    rng = np.random.RandomState(0)
+    batch = {
+        "audio": rng.randn(8, constants.AUDIO_N_SAMPLES).astype(np.float32) * 0.1,
+        "targets": {
+            "contour": rng.rand(8, 172, 264).astype(np.float32),
+            "note": rng.rand(8, 172, 88).astype(np.float32),
+            "onset": (rng.rand(8, 172, 88) > 0.95).astype(np.float32),
+        },
+        "weights": {k: np.ones(8, np.float32) for k in ("contour", "note", "onset")},
+    }
+    config = train_loop.TrainConfig()
+    optimizer = train_loop.make_optimizer(config)
+    params = nmp.init_params(jax.random.PRNGKey(0))
+
+    step_single = train_loop.build_train_step(optimizer, config)
+    p1, _, m1 = step_single(params, optimizer.init(params), batch)
+
+    mesh = mesh_lib.make_mesh()
+    params_r = mesh_lib.replicate(mesh, nmp.init_params(jax.random.PRNGKey(0)))
+    opt_r = mesh_lib.replicate(mesh, optimizer.init(params_r))
+    step_dp = train_loop.build_train_step(optimizer, config, mesh=mesh)
+    p8, _, m8 = step_dp(params_r, opt_r, mesh_lib.shard_batch(mesh, batch))
+
+    assert float(m8["loss"]) == pytest.approx(float(m1["loss"]), rel=1e-5)
+    # Adam's first step is ~sign(g)*lr, so reduction-order noise in tiny
+    # gradients flips updates by up to 2*lr; compare at that scale
+    for name in ("contour_conv", "onset_out"):
+        np.testing.assert_allclose(
+            np.asarray(p8[name]["w"]), np.asarray(p1[name]["w"]), atol=5e-3
+        )
