@@ -47,6 +47,11 @@ MAX_FREQ_IDX = host_decode.MAX_FREQ_IDX
 N_BEND_TOLERANCE = 25
 BEND_WINDOW = 2 * N_BEND_TOLERANCE + 1
 
+# scans/zeroing operate on a window of this many frames around each note
+# seed (with an exact full-length fallback for notes that outgrow it);
+# per-note cost is then independent of recording length
+SCAN_WINDOW = 4096
+
 
 class DecodedNotes(NamedTuple):
     """Fixed-size note buffers (valid entries: index < n_notes)."""
@@ -82,19 +87,20 @@ def _forward_scan(col, t0, thresh, tol, t_end):
     k_nostop = jnp.where(t_end - 2 >= t0 + 1, consec_tail, 0)
     i_final = jnp.where(found, t_stop + 1, jnp.maximum(t0 + 1, t_end - 1))
     k_final = jnp.where(found, tol, k_nostop)
-    return i_final - k_final, i_final
+    return i_final - k_final, i_final, found
 
 
-def _backward_scan(col, t0, thresh, tol, n_frames):
+def _backward_scan(col, t0, thresh, tol):
     """Start bookkeeping of the melodia backward walk from t0-1.
 
     Only depends on positions <= t0, so zero padding beyond the logical frame
     count needs no special handling here.
 
-    Returns (start, i_final): `start` is the inclusive start of
+    Returns (start, i_final, found): `start` is the inclusive start of
     above-threshold frames; `i_final` the inclusive end of the walk (frames
     (i_final, t0) were visited).
     """
+    n_frames = col.shape[0]
     pos = jnp.arange(n_frames)
     above = (col >= thresh) | (pos >= t0)
     rev = jnp.where(above, pos, n_frames + 1)[::-1]
@@ -107,7 +113,7 @@ def _backward_scan(col, t0, thresh, tol, n_frames):
     k_nostop = jnp.where(t0 - 1 >= 1, consec[1], 0)
     i_final = jnp.where(found, t_stop - 1, jnp.minimum(t0 - 1, 0))
     k_final = jnp.where(found, tol, k_nostop)
-    return i_final + 1 + k_final, i_final
+    return i_final + 1 + k_final, i_final, found
 
 
 def _zero_rows(matrix_ft, freq, time_mask_center, time_mask_neighbors):
@@ -122,6 +128,23 @@ def _zero_rows(matrix_ft, freq, time_mask_center, time_mask_neighbors):
         is_center, time_mask_center[None, :], jnp.where(is_neighbor, time_mask_neighbors[None, :], False)
     )
     return jax.lax.dynamic_update_slice(matrix_ft, jnp.where(mask, 0.0, rows), (start, 0))
+
+
+def _zero_rows_window(matrix_ft, freq, wstart, time_mask_center, time_mask_neighbors):
+    """`_zero_rows` restricted to a SCAN_WINDOW-wide slab at `wstart`;
+    the masks are window-relative."""
+    window = time_mask_center.shape[0]
+    start = jnp.clip(freq - 1, 0, F - 3)
+    rows = jax.lax.dynamic_slice(matrix_ft, (start, wstart), (3, window))
+    row_ids = start + jnp.arange(3)[:, None]
+    mask = jnp.where(
+        row_ids == freq,
+        time_mask_center[None, :],
+        jnp.where(jnp.abs(row_ids - freq) == 1, time_mask_neighbors[None, :], False),
+    )
+    return jax.lax.dynamic_update_slice(
+        matrix_ft, jnp.where(mask, 0.0, rows), (start, wstart)
+    )
 
 
 def _emit(buffers: DecodedNotes, start, end, pitch, amplitude, keep) -> DecodedNotes:
@@ -198,8 +221,17 @@ def decode(
     Returns:
         DecodedNotes in the reference's emission order.
     """
+    orig_frames = frames.shape[0]
+    t_end = orig_frames if valid_frames is None else valid_frames
+    # windowed mode: per-note scans/zeroing touch SCAN_WINDOW frames instead
+    # of the whole timeline (full-length fallback keeps exactness for notes
+    # that outgrow the window); pad to a block multiple for the maintenance
+    windowed = orig_frames > SCAN_WINDOW
+    if windowed and orig_frames % SCAN_WINDOW != 0:
+        pad = SCAN_WINDOW - orig_frames % SCAN_WINDOW
+        frames = jnp.pad(frames, ((0, pad), (0, 0)))
+        onsets = jnp.pad(onsets, ((0, pad), (0, 0)))
     n_frames = frames.shape[0]
-    t_end = n_frames if valid_frames is None else valid_frames
     frames, onsets = preprocess(frames, onsets, freq_mask, infer_onsets)
 
     # strict local maxima over time, valued at the onset, thresholded —
@@ -242,6 +274,9 @@ def decode(
     )
 
     # ---- stage 1: onset-anchored notes, backward in time -----------------
+    W = SCAN_WINDOW
+    pos_w = jnp.arange(W)
+
     def onset_body(state):
         i, remaining, buffers = state
         flat = onset_order[i]
@@ -249,17 +284,50 @@ def decode(
         freq = flat % F
         valid = (flat >= 0) & (t0 < t_end - 1)
 
-        col = jax.lax.dynamic_slice(remaining, (freq, 0), (1, n_frames))[0]
-        end, _ = _forward_scan(col, t0, frame_thresh, energy_tol, t_end)
+        if not windowed:
+            col = jax.lax.dynamic_slice(remaining, (freq, 0), (1, n_frames))[0]
+            end, _, _ = _forward_scan(col, t0, frame_thresh, energy_tol, t_end)
+            keep = valid & (end - t0 > min_note_len)
+            time_mask = (pos >= t0) & (pos < end) & keep
+            remaining = _zero_rows(remaining, freq, time_mask, time_mask)
+            frames_col = jax.lax.dynamic_slice(frames_ft, (freq, 0), (1, n_frames))[0]
+            span = jnp.maximum(end - t0, 1).astype(jnp.float32)
+            amplitude = jnp.sum(jnp.where((pos >= t0) & (pos < end), frames_col, 0.0)) / span
+            buffers = _emit(buffers, t0, end, freq, amplitude, keep)
+            return i + 1, remaining, buffers
+
+        wstart = jnp.minimum(t0, n_frames - W)
+        t0r = t0 - wstart
+        col_w = jax.lax.dynamic_slice(remaining, (freq, wstart), (1, W))[0]
+        end_r, _, found = _forward_scan(col_w, t0r, frame_thresh, energy_tol, t_end - wstart)
+        sufficient = found | (t_end - wstart <= W)
+
+        def window_branch(args):
+            rem, valid_ = args
+            end = wstart + end_r
+            keep = valid_ & (end - t0 > min_note_len)
+            mask = (pos_w >= t0r) & (pos_w < end_r) & keep
+            rem = _zero_rows_window(rem, freq, wstart, mask, mask)
+            frames_w = jax.lax.dynamic_slice(frames_ft, (freq, wstart), (1, W))[0]
+            amp_sum = jnp.sum(jnp.where((pos_w >= t0r) & (pos_w < end_r), frames_w, 0.0))
+            return rem, end, amp_sum
+
+        def full_branch(args):
+            rem, valid_ = args
+            col = jax.lax.dynamic_slice(rem, (freq, 0), (1, n_frames))[0]
+            end, _, _ = _forward_scan(col, t0, frame_thresh, energy_tol, t_end)
+            keep = valid_ & (end - t0 > min_note_len)
+            mask = (pos >= t0) & (pos < end) & keep
+            rem = _zero_rows(rem, freq, mask, mask)
+            frames_col = jax.lax.dynamic_slice(frames_ft, (freq, 0), (1, n_frames))[0]
+            amp_sum = jnp.sum(jnp.where((pos >= t0) & (pos < end), frames_col, 0.0))
+            return rem, end, amp_sum
+
+        remaining, end, amp_sum = jax.lax.cond(
+            sufficient, window_branch, full_branch, (remaining, valid)
+        )
         keep = valid & (end - t0 > min_note_len)
-
-        time_mask = (pos >= t0) & (pos < end) & keep
-        remaining = _zero_rows(remaining, freq, time_mask, time_mask)
-
-        frames_col = jax.lax.dynamic_slice(frames_ft, (freq, 0), (1, n_frames))[0]
-        span = jnp.maximum(end - t0, 1).astype(jnp.float32)
-        amplitude = jnp.sum(jnp.where((pos >= t0) & (pos < end), frames_col, 0.0)) / span
-
+        amplitude = amp_sum / jnp.maximum(end - t0, 1).astype(jnp.float32)
         buffers = _emit(buffers, t0, end, freq, amplitude, keep)
         return i + 1, remaining, buffers
 
@@ -281,6 +349,8 @@ def decode(
     # per note instead of a full-matrix reduction (~36 MB), while still
     # reproducing np.argmax's row-major (t, then f) tie-breaking.
 
+    n_blocks = n_frames // W if windowed else 1
+
     def row_stats(rows):
         rmax = jnp.max(rows, axis=1)
         tfirst = jnp.argmax(rows == rmax[:, None], axis=1).astype(jnp.int32)
@@ -290,8 +360,87 @@ def decode(
         it, _, rowmax, _, _, _ = state
         return (jnp.max(rowmax) > frame_thresh) & (it < max_melodia_iters)
 
+    def _apply_note(remaining, freq, t_mid):
+        """Scan both directions from the seed, zero the claimed region, and
+        return (remaining', i_start, i_end, touched_lo) — windowed with an
+        exact full-length fallback."""
+
+        def full_branch(rem):
+            col = jax.lax.dynamic_slice(rem, (freq, 0), (1, n_frames))[0]
+            col = jnp.where(pos == t_mid, 0.0, col)
+            fwd_end, fwd_final, _ = _forward_scan(col, t_mid, frame_thresh, energy_tol, t_end)
+            bwd_start, bwd_final, _ = _backward_scan(col, t_mid, frame_thresh, energy_tol)
+            visited = ((pos >= bwd_final + 1) & (pos < t_mid)) | (
+                (pos >= t_mid + 1) & (pos < fwd_final)
+            )
+            center = visited | (pos == t_mid)
+            rem = _zero_rows(rem, freq, center, visited)
+            return rem, bwd_start, fwd_end - 1, jnp.asarray(-1, jnp.int32)
+
+        if not windowed:
+            return full_branch(remaining)
+
+        wstart = jnp.clip(t_mid - W // 2, 0, n_frames - W)
+        t_mid_r = t_mid - wstart
+        col_w = jax.lax.dynamic_slice(remaining, (freq, wstart), (1, W))[0]
+        col_w = jnp.where(pos_w == t_mid_r, 0.0, col_w)
+        fwd_end_r, fwd_final_r, ffound = _forward_scan(
+            col_w, t_mid_r, frame_thresh, energy_tol, t_end - wstart
+        )
+        bwd_start_r, bwd_final_r, bfound = _backward_scan(
+            col_w, t_mid_r, frame_thresh, energy_tol
+        )
+        sufficient = (ffound | (t_end - wstart <= W)) & (bfound | (wstart == 0))
+
+        def window_branch(rem):
+            visited = ((pos_w >= bwd_final_r + 1) & (pos_w < t_mid_r)) | (
+                (pos_w >= t_mid_r + 1) & (pos_w < fwd_final_r)
+            )
+            center = visited | (pos_w == t_mid_r)
+            rem = _zero_rows_window(rem, freq, wstart, center, visited)
+            return rem, wstart + bwd_start_r, wstart + fwd_end_r - 1, wstart
+
+        return jax.lax.cond(sufficient, window_branch, full_branch, remaining)
+
+    def _refresh_stats(remaining, blockmax, freq, touched_lo):
+        """Recompute block maxima for the 3 touched rows, then their row
+        max + first-occurrence time from the blocks. touched_lo is the
+        window start of the zeroed slab, or -1 after a full-length fallback.
+        """
+        row0 = jnp.clip(freq - 1, 0, F - 3)
+        if windowed:
+            # the claimed region spans at most 2 W-aligned blocks in window
+            # mode; a full-length fallback may touch everything
+            def window_blocks(bm):
+                b0 = jnp.clip(touched_lo // W, 0, n_blocks - 2)
+                rows = jax.lax.dynamic_slice(remaining, (row0, b0 * W), (3, 2 * W))
+                bm3 = jnp.max(rows.reshape(3, 2, W), axis=2)
+                return jax.lax.dynamic_update_slice(bm, bm3, (row0, b0))
+
+            def all_blocks(bm):
+                rows = jax.lax.dynamic_slice(remaining, (row0, 0), (3, n_frames))
+                bm3 = jnp.max(rows.reshape(3, n_blocks, W), axis=2)
+                return jax.lax.dynamic_update_slice(bm, bm3, (row0, 0))
+
+            blockmax = jax.lax.cond(touched_lo < 0, all_blocks, window_blocks, blockmax)
+            bm3 = jax.lax.dynamic_slice(blockmax, (row0, 0), (3, n_blocks))
+            rmax3 = jnp.max(bm3, axis=1)
+            # first block attaining the max, then first time within it
+            first_block = jnp.argmax(bm3 == rmax3[:, None], axis=1).astype(jnp.int32)
+            tfirst_rows = []
+            for j in range(3):
+                block = jax.lax.dynamic_slice(
+                    remaining, (row0 + j, first_block[j] * W), (1, W)
+                )[0]
+                tfirst_rows.append(first_block[j] * W + jnp.argmax(block == rmax3[j]).astype(jnp.int32))
+            tfirst3 = jnp.stack(tfirst_rows)
+        else:
+            rows = jax.lax.dynamic_slice(remaining, (row0, 0), (3, n_frames))
+            rmax3, tfirst3 = row_stats(rows)
+        return blockmax, rmax3, tfirst3, row0
+
     def melodia_body(state):
-        it, remaining, rowmax, t_first, buffers, _ = state
+        it, remaining, rowmax, t_first, buffers, blockmax = state
         peak = jnp.max(rowmax)
         # np.argmax((T, F)) tie order: smallest t, then smallest f
         key = jnp.where(rowmax == peak, t_first * F + jnp.arange(F, dtype=jnp.int32), jnp.iinfo(jnp.int32).max)
@@ -299,49 +448,51 @@ def decode(
         t_mid = first // F
         freq = first % F
 
-        # the seed cell is zeroed in the working column only; the matrix cell
-        # is zeroed together with the claimed region below (center_mask
-        # includes t_mid), avoiding a separate full-matrix scatter
-        col = jax.lax.dynamic_slice(remaining, (freq, 0), (1, n_frames))[0]
-        col = jnp.where(pos == t_mid, 0.0, col)
-
-        fwd_end, fwd_final = _forward_scan(col, t_mid, frame_thresh, energy_tol, t_end)
-        i_end = fwd_end - 1  # reference: i_end = i_final - 1 - k_final
-
-        bwd_start, bwd_final = _backward_scan(col, t_mid, frame_thresh, energy_tol, n_frames)
-        i_start = bwd_start
-
-        visited = ((pos >= bwd_final + 1) & (pos < t_mid)) | ((pos >= t_mid + 1) & (pos < fwd_final))
-        center_mask = visited | (pos == t_mid)
-
-        # zero the claimed region and refresh the stats of the 3 touched rows
-        start = jnp.clip(freq - 1, 0, F - 3)
-        rows = jax.lax.dynamic_slice(remaining, (start, 0), (3, n_frames))
-        row_ids = start + jnp.arange(3)[:, None]
-        mask = jnp.where(
-            row_ids == freq,
-            center_mask[None, :],
-            jnp.where(jnp.abs(row_ids - freq) == 1, visited[None, :], False),
-        )
-        rows = jnp.where(mask, 0.0, rows)
-        remaining = jax.lax.dynamic_update_slice(remaining, rows, (start, 0))
-        rmax3, tfirst3 = row_stats(rows)
-        rowmax = jax.lax.dynamic_update_slice(rowmax, rmax3, (start,))
-        t_first = jax.lax.dynamic_update_slice(t_first, tfirst3, (start,))
+        remaining, i_start, i_end, touched_lo = _apply_note(remaining, freq, t_mid)
+        blockmax, rmax3, tfirst3, row0 = _refresh_stats(remaining, blockmax, freq, touched_lo)
+        rowmax = jax.lax.dynamic_update_slice(rowmax, rmax3, (row0,))
+        t_first = jax.lax.dynamic_update_slice(t_first, tfirst3, (row0,))
 
         keep = (i_end - i_start) > min_note_len
-        frames_col = jax.lax.dynamic_slice(frames_ft, (freq, 0), (1, n_frames))[0]
         span = jnp.maximum(i_end - i_start, 1).astype(jnp.float32)
-        amplitude = jnp.sum(jnp.where((pos >= i_start) & (pos < i_end), frames_col, 0.0)) / span
+        if windowed:
+            astart = jnp.clip(i_start, 0, n_frames - W)
+            frames_w = jax.lax.dynamic_slice(frames_ft, (freq, astart), (1, W))[0]
+            in_note = (pos_w + astart >= i_start) & (pos_w + astart < i_end)
+            amp_sum_w = jnp.sum(jnp.where(in_note, frames_w, 0.0))
+
+            def amp_full(_):
+                frames_col = jax.lax.dynamic_slice(frames_ft, (freq, 0), (1, n_frames))[0]
+                return jnp.sum(jnp.where((pos >= i_start) & (pos < i_end), frames_col, 0.0))
+
+            amp_sum = jax.lax.cond(
+                i_end - i_start <= W, lambda _: amp_sum_w, amp_full, None
+            )
+        else:
+            frames_col = jax.lax.dynamic_slice(frames_ft, (freq, 0), (1, n_frames))[0]
+            amp_sum = jnp.sum(jnp.where((pos >= i_start) & (pos < i_end), frames_col, 0.0))
+        amplitude = amp_sum / span
 
         buffers = _emit(buffers, i_start, i_end, freq, amplitude, keep)
-        return it + 1, remaining, rowmax, t_first, buffers, peak
+        return it + 1, remaining, rowmax, t_first, buffers, blockmax
 
-    rowmax0, t_first0 = row_stats(remaining)
+    if windowed:
+        blockmax0 = jnp.max(remaining.reshape(F, n_blocks, W), axis=2)
+        rowmax0 = jnp.max(blockmax0, axis=1)
+        fb = jnp.argmax(blockmax0 == rowmax0[:, None], axis=1).astype(jnp.int32)
+        # first time achieving the row max, derived per row from its block
+        gathered = jnp.take_along_axis(
+            remaining.reshape(F, n_blocks, W), fb[:, None, None], axis=1
+        )[:, 0, :]
+        t_first0 = fb * W + jnp.argmax(gathered == rowmax0[:, None], axis=1).astype(jnp.int32)
+    else:
+        blockmax0 = jnp.zeros((F, 1), remaining.dtype)
+        rowmax0, t_first0 = row_stats(remaining)
+
     it, remaining, rowmax, _, buffers, _ = jax.lax.while_loop(
         melodia_cond,
         melodia_body,
-        (jnp.asarray(0, jnp.int32), remaining, rowmax0, t_first0, buffers, jnp.asarray(0.0, remaining.dtype)),
+        (jnp.asarray(0, jnp.int32), remaining, rowmax0, t_first0, buffers, blockmax0),
     )
     melodia_truncated = (it >= max_melodia_iters) & (jnp.max(rowmax) > frame_thresh)
     return buffers._replace(overflow=buffers.overflow | melodia_truncated)

@@ -158,3 +158,51 @@ def test_padded_valid_frames_equivalence(seed):
     )
     device_ev = [(s, e, p, a) for s, e, p, a, _ in dev.notes_to_events(decoded, None)]
     _assert_same(_host_events(frames, onsets, config), device_ev)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_windowed_mode_matches_host_oracle(seed):
+    """T > SCAN_WINDOW activates windowed scans; results must still match."""
+    rng = np.random.RandomState(200 + seed)
+    n_frames = dev.SCAN_WINDOW + int(rng.choice([50, 1000, 4000]))
+    frames, onsets = _random_posteriorgrams(rng, n_frames, density=0.01)
+    config = host.DecodeConfig(min_note_length=5)
+    _assert_same(
+        _host_events(frames, onsets, config),
+        _device_events(frames, onsets, config, max_notes=4096, max_iters=16384),
+    )
+
+
+def test_windowed_long_note_fallback():
+    """A sustained note longer than SCAN_WINDOW must take the exact
+    full-length fallback path in both stages."""
+    n_frames = 3 * dev.SCAN_WINDOW
+    frames = np.zeros((n_frames, 88))
+    onsets = np.zeros((n_frames, 88))
+    long = dev.SCAN_WINDOW + 1234
+    frames[100 : 100 + long, 30] = 0.9  # onset-anchored long note
+    onsets[100, 30] = 0.9
+    frames[6000 : 6000 + long, 60] = 0.8  # melodia long note (no onset)
+    config = host.DecodeConfig(min_note_length=5)
+    _assert_same(
+        _host_events(frames, onsets, config),
+        _device_events(frames, onsets, config, max_notes=64, max_iters=4096),
+    )
+
+
+def test_windowed_padded_equivalence():
+    rng = np.random.RandomState(300)
+    n_frames = dev.SCAN_WINDOW + 500
+    frames, onsets = _random_posteriorgrams(rng, n_frames, density=0.01)
+    config = host.DecodeConfig(min_note_length=5)
+    fp = np.pad(frames, ((0, 777), (0, 0)))
+    op = np.pad(onsets, ((0, 777), (0, 0)))
+    decoded = jax.jit(
+        dev.decode, static_argnames=("max_notes", "max_melodia_iters")
+    )(
+        jnp.asarray(fp), jnp.asarray(op),
+        config.onset_threshold, config.frame_threshold, config.min_note_length,
+        valid_frames=n_frames, max_notes=2048, max_melodia_iters=8192,
+    )
+    device_ev = [(s, e, p, a) for s, e, p, a, _ in dev.notes_to_events(decoded, None)]
+    _assert_same(_host_events(frames, onsets, config), device_ev)
