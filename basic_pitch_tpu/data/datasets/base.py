@@ -49,12 +49,7 @@ def load_any_audio(path: PathLike, channel: Optional[int] = None) -> Tuple[np.nd
     else:
         if not ffmpeg_available():
             raise RuntimeError(f"need ffmpeg to decode {path}")
-        with tempfile.NamedTemporaryFile(suffix=".wav") as tmp:
-            subprocess.run(
-                ["ffmpeg", "-y", "-loglevel", "error", "-i", path, tmp.name],
-                check=True,
-            )
-            samples, sr = audio_io.read_wav(tmp.name)
+        samples, sr = audio_io.decode_with_ffmpeg(path)
     if channel is not None:
         mono = samples[:, min(channel, samples.shape[1] - 1)]
     else:

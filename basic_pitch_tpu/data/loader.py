@@ -28,6 +28,7 @@ import os
 import queue
 import random
 import threading
+import zlib
 from typing import Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
@@ -115,8 +116,12 @@ def iter_track_windows(
     max_start = n_sec - constants.AUDIO_N_SAMPLES / constants.AUDIO_SAMPLE_RATE
     if max_start <= 0:
         return
+    # deterministic (validation) seeding is per (track, window-index), so
+    # different tracks sample different offsets — seeding on the index alone
+    # would give every track the same relative window positions
+    track_seed = zlib.crc32(str(example.file_id).encode()) & 0x7FFFFFFF
     for i in range(n_samples_per_track):
-        local = np.random.RandomState(i) if deterministic else rng
+        local = np.random.RandomState((track_seed + i) & 0x7FFFFFFF) if deterministic else rng
         t_start = local.uniform(0.0, max_start)
         window = _extract_window(example.audio, onsets, contours, notes, t_start)
         if window is None:
@@ -288,10 +293,6 @@ def prepare_datasets(
     train_iter = _prefetch(_batched(train_stream, batch_size))
 
     # validation: materialize `validation_steps` batches once, cycle forever
-    val_stream = example_stream(
-        "validation", datasets_base_path, datasets_to_use, dataset_sampling_frequency
-    )
-
     def val_batches():
         cached: List[Batch] = []
         source = _batched(_cycle_stream(), batch_size)

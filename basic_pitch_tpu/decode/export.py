@@ -35,7 +35,9 @@ def drop_overlapping_pitch_bends(events: List[NoteEvent]) -> List[NoteEvent]:
     note's end reaches past my start" — an O(n log n) sweep equivalent to the
     reference's quadratic pair marking.
     """
-    events = sorted(events)
+    # sort by an explicit key: the 5th tuple element is `list | None`, so a
+    # bare sorted(events) would raise TypeError on (start, end, pitch, amp) ties
+    events = sorted(events, key=lambda e: (e[0], e[1], e[2], e[3]))
     n = len(events)
     if n <= 1:
         return events
@@ -68,13 +70,18 @@ def note_events_to_midi(
         lambda: midi_io.Instrument(program=midi_io.ELECTRIC_PIANO_1)
     )
     for start, end, pitch, amplitude, bends in events:
+        velocity = int(np.round(MIDI_VELOCITY_SCALE * amplitude))
+        if velocity == 0:
+            # the reference (pretty_midi) emits velocity 0, which SMF players
+            # interpret as note-off and drop — match the rendered output
+            continue
         instrument = instruments[pitch if multiple_pitch_bends else 0]
         instrument.notes.append(
             midi_io.Note(
                 start=float(start),
                 end=float(end),
                 pitch=int(pitch),
-                velocity=int(np.round(MIDI_VELOCITY_SCALE * amplitude)),
+                velocity=velocity,
             )
         )
         if not bends:

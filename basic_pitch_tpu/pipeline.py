@@ -527,11 +527,15 @@ class StreamingTranscriber:
         return [self._collect(t) for t in tickets]
 
     def transcribe_file(self, audio_path) -> Dict[str, np.ndarray]:
-        """Decode a WAV on host and transcribe. 44.1 kHz and 22.05 kHz files
-        take the all-device path; other rates resample on host first."""
+        """Decode an audio file on host and transcribe. WAV uses the native
+        codec, other containers go through ffmpeg; 44.1 kHz and 22.05 kHz
+        signals take the all-device path, other rates resample on host first."""
         from basic_pitch_tpu.utils import audio as audio_io
 
-        samples, sr = audio_io.read_wav(audio_path)
+        if audio_io._is_wav(audio_path):
+            samples, sr = audio_io.read_wav(audio_path)
+        else:
+            samples, sr = audio_io.decode_with_ffmpeg(audio_path)
         mono = audio_io.to_mono(samples)
         if sr in (constants.AUDIO_SAMPLE_RATE, 2 * constants.AUDIO_SAMPLE_RATE):
             return self.posteriorgrams(mono, sr)

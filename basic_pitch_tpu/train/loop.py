@@ -39,10 +39,91 @@ class TrainConfig:
     bn_momentum: float = nmp.BN_MOMENTUM
     lr_reduction_factor: float = 0.5
     lr_patience: int = 10  # epochs without val improvement before LR cut
+    lr_min_delta: float = 1e-4  # Keras ReduceLROnPlateau default
+    lr_cooldown: int = 0
+    min_lr: float = 0.0
     early_stop_patience: int = 25
+    early_stop_min_delta: float = 0.0  # Keras EarlyStopping default
     steps_per_epoch: int = 100
     validation_steps: int = 10
     epochs: int = 500
+
+
+@dataclasses.dataclass
+class ReduceLROnPlateau:
+    """Keras-exact plateau LR scheduler (`keras.callbacks.ReduceLROnPlateau`,
+    as configured by the reference at `train.py:130`: patience=10, factor=0.5,
+    min_delta=1e-4, cooldown=0).
+
+    Semantics: an epoch improves iff ``current < best - min_delta``. During
+    cooldown the wait counter is held at zero. A reduction fires when ``wait``
+    reaches ``patience`` outside cooldown; it resets ``wait`` (but NOT ``best``)
+    and starts the cooldown — so over a long flat plateau with cooldown=0 cuts
+    happen every ``patience`` epochs, but any sub-min_delta wobble never resets
+    the clock, unlike a naive best-epoch counter.
+    """
+
+    factor: float = 0.5
+    patience: int = 10
+    min_delta: float = 1e-4
+    cooldown: int = 0
+    min_lr: float = 0.0
+    best: float = np.inf
+    wait: int = 0
+    cooldown_counter: int = 0
+
+    def step(self, current: float, lr: float) -> Tuple[float, bool]:
+        """Advance one epoch; returns (new_lr, reduced?)."""
+        if self.cooldown_counter > 0:
+            self.cooldown_counter -= 1
+            self.wait = 0
+        if current < self.best - self.min_delta:
+            self.best = current
+            self.wait = 0
+        elif self.cooldown_counter <= 0:
+            self.wait += 1
+            if self.wait >= self.patience:
+                self.cooldown_counter = self.cooldown
+                self.wait = 0
+                if lr > self.min_lr:
+                    return max(lr * self.factor, self.min_lr), True
+        return lr, False
+
+    def state(self) -> Dict:
+        return {"best": float(self.best), "wait": self.wait, "cooldown_counter": self.cooldown_counter}
+
+    def load_state(self, state: Dict) -> None:
+        self.best = float(state["best"])
+        self.wait = int(state["wait"])
+        self.cooldown_counter = int(state["cooldown_counter"])
+
+
+@dataclasses.dataclass
+class EarlyStopping:
+    """Keras-exact early stopping (`keras.callbacks.EarlyStopping`, reference
+    `train.py:129`: patience=25, min_delta=0). Improvement means
+    ``current < best - min_delta``; stop once ``patience`` consecutive
+    non-improving epochs have elapsed."""
+
+    patience: int = 25
+    min_delta: float = 0.0
+    best: float = np.inf
+    wait: int = 0
+
+    def step(self, current: float) -> bool:
+        """Advance one epoch; returns True when training should stop."""
+        self.wait += 1
+        if current < self.best - self.min_delta:
+            self.best = current
+            self.wait = 0
+        return self.wait >= self.patience
+
+    def state(self) -> Dict:
+        return {"best": float(self.best), "wait": self.wait}
+
+    def load_state(self, state: Dict) -> None:
+        self.best = float(state["best"])
+        self.wait = int(state["wait"])
 
 
 class TrainState:
@@ -97,6 +178,7 @@ def build_train_step(
                 label_smoothing=config.label_smoothing,
                 weighted_onset=config.weighted_onset_loss,
                 positive_weight=config.positive_onset_weight,
+                no_contours=model_config.no_contours,
             )
             return total, (per_head, batch_stats)
 
@@ -142,6 +224,7 @@ def build_eval_step(
             label_smoothing=config.label_smoothing,
             weighted_onset=config.weighted_onset_loss,
             positive_weight=config.positive_onset_weight,
+            no_contours=model_config.no_contours,
         )
         return {"loss": total, **{f"loss_{k}": v for k, v in per_head.items()}}
 
@@ -176,13 +259,30 @@ def restore_train_state(path: pathlib.Path, params_template, opt_state_template)
     import orbax.checkpoint as ocp
 
     checkpointer = ocp.StandardCheckpointer()
-    template = {
-        "params": jax.device_get(params_template),
-        "opt_state": jax.device_get(opt_state_template),
-        "extra": {"epoch": 0, "best_val": 0.0, "epochs_since_best": 0, "lr": 0.0},
-    }
-    restored = checkpointer.restore(pathlib.Path(path).resolve(), template)
-    return restored["params"], restored["opt_state"], restored["extra"]
+    extra_templates = (
+        {
+            "epoch": 0,
+            "best_val": 0.0,
+            "lr": 0.0,
+            "lr_plateau": {"best": 0.0, "wait": 0, "cooldown_counter": 0},
+            "early_stop": {"best": 0.0, "wait": 0},
+        },
+        # legacy (round-1) single-counter layout
+        {"epoch": 0, "best_val": 0.0, "epochs_since_best": 0, "lr": 0.0},
+    )
+    last_error = None
+    for extra_template in extra_templates:
+        template = {
+            "params": jax.device_get(params_template),
+            "opt_state": jax.device_get(opt_state_template),
+            "extra": extra_template,
+        }
+        try:
+            restored = checkpointer.restore(pathlib.Path(path).resolve(), template)
+            return restored["params"], restored["opt_state"], restored["extra"]
+        except Exception as exc:  # structure mismatch -> try the other layout
+            last_error = exc
+    raise last_error
 
 
 def fit(
@@ -214,16 +314,34 @@ def fit(
     optimizer = make_optimizer(config)
     opt_state = optimizer.init(params)
 
+    lr_plateau = ReduceLROnPlateau(
+        factor=config.lr_reduction_factor,
+        patience=config.lr_patience,
+        min_delta=config.lr_min_delta,
+        cooldown=config.lr_cooldown,
+        min_lr=config.min_lr,
+    )
+    early_stop = EarlyStopping(
+        patience=config.early_stop_patience, min_delta=config.early_stop_min_delta
+    )
     best_val = np.inf
-    epochs_since_best = 0
     lr = config.learning_rate
     start_epoch = 0
     if resume and state_dir.exists():
         params, opt_state, extra = restore_train_state(state_dir, params, opt_state)
         start_epoch = int(extra["epoch"]) + 1
         best_val = float(extra["best_val"])
-        epochs_since_best = int(extra["epochs_since_best"])
         lr = float(extra["lr"])
+        # scheduler state: exact fields when present, degraded reconstruction
+        # from the legacy single counter otherwise
+        if "lr_plateau" in extra:
+            lr_plateau.load_state(extra["lr_plateau"])
+            early_stop.load_state(extra["early_stop"])
+        else:
+            legacy_wait = int(extra.get("epochs_since_best", 0))
+            lr_plateau.best = early_stop.best = best_val
+            lr_plateau.wait = legacy_wait % max(config.lr_patience, 1)
+            early_stop.wait = legacy_wait
         log(f"resumed from {state_dir} at epoch {start_epoch} (best_val={best_val:.4f})")
 
     if mesh is not None:
@@ -232,7 +350,13 @@ def fit(
 
     train_step = build_train_step(optimizer, config, model_config, mesh)
     eval_step = build_eval_step(config, model_config, mesh)
-    best_params = params
+    # host copy: the live `params` buffers are donated by the first train_step,
+    # and on resume the best checkpoint (if any) beats the latest one
+    best_ckpt = output_dir / "model.best.npz"
+    if start_epoch > 0 and best_ckpt.exists():
+        best_params = params_io.load_params(best_ckpt)
+    else:
+        best_params = jax.device_get(params)
 
     for epoch in range(start_epoch, config.epochs):
         t0 = time.time()
@@ -261,19 +385,16 @@ def fit(
         if val_loss < best_val:
             best_val = val_loss
             best_params = jax.device_get(params)
-            epochs_since_best = 0
             params_io.save_params(output_dir / "model.best.npz", best_params)
-        else:
-            epochs_since_best += 1
 
         for cb in callbacks:
             cb(epoch, params, {"loss": train_loss}, {"loss": val_loss})
 
-        # ReduceLROnPlateau(factor, patience) then EarlyStopping(patience)
-        if epochs_since_best > 0 and epochs_since_best % config.lr_patience == 0:
-            lr *= config.lr_reduction_factor
+        lr, reduced = lr_plateau.step(val_loss, lr)
+        if reduced:
             opt_state.hyperparams["learning_rate"] = jnp.asarray(lr)
             log(f"  reducing learning rate to {lr:.2e}")
+        stop = early_stop.step(val_loss)
 
         save_train_state(
             state_dir,
@@ -282,12 +403,13 @@ def fit(
             {
                 "epoch": epoch,
                 "best_val": float(best_val),
-                "epochs_since_best": epochs_since_best,
                 "lr": float(lr),
+                "lr_plateau": lr_plateau.state(),
+                "early_stop": early_stop.state(),
             },
         )
 
-        if epochs_since_best >= config.early_stop_patience:
+        if stop:
             log(f"  early stopping at epoch {epoch}")
             break
 

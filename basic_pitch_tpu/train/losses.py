@@ -60,6 +60,7 @@ def total_loss(
     label_smoothing: float = DEFAULT_LABEL_SMOOTHING,
     weighted_onset: bool = False,
     positive_weight: float = DEFAULT_POSITIVE_WEIGHT,
+    no_contours: bool = False,
 ) -> tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Combined loss over the contour/note/onset heads.
 
@@ -68,11 +69,19 @@ def total_loss(
     the reference training setup (`train.py:150-154` + the weight triple from
     `tf_example_deserialization.py:522-588`).
 
+    With ``no_contours`` the contour head is excluded: in that mode the model's
+    "contour" output is a relu'd hidden activation, not a sigmoid posteriorgram,
+    so BCE against contour targets is meaningless. This realizes the intent of
+    the reference's ``loss_no_contour`` branch (`train.py:144-147`, present only
+    as commented-out code — the reference never shipped a working no-contours
+    training loss).
+
     Returns:
         (scalar total, dict of per-head scalars).
     """
+    heads = ("note", "onset") if no_contours else ("contour", "note", "onset")
     per_head = {}
-    for head in ("contour", "note", "onset"):
+    for head in heads:
         y_true, y_pred = targets[head], outputs[head]
         if head == "onset" and weighted_onset:
             head_loss = weighted_transcription_loss(
@@ -88,5 +97,5 @@ def total_loss(
                 per_example = per_example * sample_weights[head]
             head_loss = jnp.mean(per_example)
         per_head[head] = head_loss
-    total = per_head["contour"] + per_head["note"] + per_head["onset"]
+    total = sum(per_head.values())
     return total, per_head

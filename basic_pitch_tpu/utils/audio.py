@@ -12,7 +12,10 @@ reference for its tests.
 from __future__ import annotations
 
 import pathlib
+import shutil
 import struct
+import subprocess
+import tempfile
 from typing import Tuple, Union
 
 import numpy as np
@@ -219,15 +222,53 @@ def resample(x: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
     return y[:n_out].astype(np.float32)
 
 
+def ffmpeg_available() -> bool:
+    return shutil.which("ffmpeg") is not None
+
+
+def decode_with_ffmpeg(path: PathLike) -> Tuple[np.ndarray, int]:
+    """Decode any container ffmpeg can open to (samples (n, ch), sample_rate).
+
+    The fallback behind the native WAV codec, so `load_audio` accepts the same
+    input formats as the reference's librosa load
+    (`/root/reference/basic_pitch/inference.py:239`, which also falls back to
+    ffmpeg/audioread for non-libsndfile containers).
+    """
+    if not ffmpeg_available():
+        raise WavFormatError(
+            f"{path}: not a RIFF/WAVE file and ffmpeg is not available to "
+            "transcode it — install ffmpeg or supply WAV input"
+        )
+    with tempfile.NamedTemporaryFile(suffix=".wav") as tmp:
+        subprocess.run(
+            ["ffmpeg", "-y", "-loglevel", "error", "-i", str(path), tmp.name],
+            check=True,
+        )
+        return read_wav(tmp.name)
+
+
+def _is_wav(path: PathLike) -> bool:
+    try:
+        with open(path, "rb") as fh:
+            head = fh.read(12)
+    except OSError:
+        return False
+    return len(head) >= 12 and head[:4] == _RIFF and head[8:12] == _WAVE
+
+
 def load_audio(path: PathLike, sample_rate: int, mono: bool = True) -> Tuple[np.ndarray, int]:
     """Decode an audio file, mix to mono, and resample to `sample_rate`.
 
-    The host-side analogue of the reference's librosa load
+    WAV goes through the framework's own codec (native fast path); any other
+    container (mp3/flac/ogg/...) is transcoded via ffmpeg. The host-side
+    analogue of the reference's librosa load
     (`/root/reference/basic_pitch/inference.py:239`).
     """
-    if mono:
-        y, sr = read_wav_mono(path)
+    if _is_wav(path):
+        y, sr = read_wav_mono(path) if mono else read_wav(path)
     else:
-        y, sr = read_wav(path)
+        y, sr = decode_with_ffmpeg(path)
+        if mono:
+            y = to_mono(y)
     y = resample(y, sr, sample_rate)
     return np.ascontiguousarray(y, dtype=np.float32), sample_rate

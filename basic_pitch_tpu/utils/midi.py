@@ -55,13 +55,16 @@ class MidiFile:
     def _seconds_to_ticks(self, seconds: float) -> int:
         return max(0, int(round(seconds * self.resolution * self.tempo / 60.0)))
 
+    # the 15 melodic channels, cycled per instrument slot — matches
+    # pretty_midi's writer, which never assigns channel 9 (GM percussion)
+    # and never lets two of the first 15 instruments share a channel
+    _MELODIC_CHANNELS = tuple(c for c in range(16) if c != 9)
+
     def write(self, path: PathLike) -> None:
         """Serialize as a format-1 Standard MIDI File."""
         tracks = [self._tempo_track()]
         for channel_slot, instrument in enumerate(self.instruments):
-            channel = channel_slot % 16
-            if channel == 9:  # skip the GM percussion channel
-                channel = (channel + 1) % 16
+            channel = self._MELODIC_CHANNELS[channel_slot % len(self._MELODIC_CHANNELS)]
             tracks.append(self._instrument_track(instrument, channel))
 
         with open(path, "wb") as fh:

@@ -83,3 +83,32 @@ def test_bad_wav_raises(tmp_path):
     path.write_bytes(b"not a wav file at all")
     with pytest.raises(audio_io.WavFormatError):
         audio_io.read_wav(path)
+
+
+def test_load_audio_non_wav_clear_error_without_ffmpeg(tmp_path, monkeypatch):
+    fake = tmp_path / "song.mp3"
+    fake.write_bytes(b"\xff\xfb\x90\x00" + b"\x00" * 64)  # mp3-ish header
+    monkeypatch.setattr(audio_io.shutil, "which", lambda name: None)
+    with pytest.raises(audio_io.WavFormatError, match="ffmpeg"):
+        audio_io.load_audio(fake, 22050)
+
+
+@pytest.mark.skipif(not audio_io.ffmpeg_available(), reason="ffmpeg not installed")
+def test_load_audio_flac_via_ffmpeg(tmp_path):
+    sr = 22050
+    t = np.arange(sr) / sr
+    tone = (0.5 * np.sin(2 * np.pi * 440.0 * t)).astype(np.float32)
+    wav = tmp_path / "tone.wav"
+    audio_io.write_wav(wav, tone, sr)
+    flac = tmp_path / "tone.flac"
+    import subprocess
+
+    subprocess.run(
+        ["ffmpeg", "-y", "-loglevel", "error", "-i", str(wav), str(flac)], check=True
+    )
+    y, out_sr = audio_io.load_audio(flac, sr)
+    assert out_sr == sr
+    assert abs(len(y) - len(tone)) <= 2
+    # flac is lossless: same tone back
+    n = min(len(y), len(tone))
+    assert np.max(np.abs(y[:n] - tone[:n])) < 1e-3

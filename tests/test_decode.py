@@ -126,3 +126,23 @@ def test_model_frames_to_time_window_correction():
     # one full window later, the cumulative correction has been applied once
     expected_offset = (256 / 22050) * (172 - 43844 / 256) + notes.MAGIC_ALIGNMENT_OFFSET
     assert times[172] == pytest.approx(172 * 256 / 22050 - expected_offset)
+
+
+def test_drop_overlapping_pitch_bends_tied_tuples():
+    # two events tying on (start, end, pitch, amplitude) with list/None bend
+    # payloads: a bare sorted() would raise TypeError comparing list with None
+    tied = [(0.0, 1.0, 60, 0.5, [1, 2]), (0.0, 1.0, 60, 0.5, None)]
+    out = export.drop_overlapping_pitch_bends(list(tied))
+    assert len(out) == 2
+    assert all(e[4] is None for e in out)  # they overlap each other
+
+
+def test_zero_velocity_notes_dropped():
+    # reference (pretty_midi) writes round(127*amp)=0 as note-on velocity 0,
+    # which SMF players treat as note-off; we drop the note to match rendered
+    # output
+    events = [(0.0, 1.0, 60, 0.003, None), (1.0, 2.0, 62, 0.5, None)]
+    midi = export.note_events_to_midi(events)
+    all_notes = [n for inst in midi.instruments for n in inst.notes]
+    assert len(all_notes) == 1
+    assert all_notes[0].pitch == 62

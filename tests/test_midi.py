@@ -96,3 +96,24 @@ def test_percussion_channel_skipped(tmp_path):
     for body in tracks[1:]:
         channels = {b & 0x0F for b in body if (b & 0xF0) in (0x90, 0x80)}
         assert 9 not in channels  # GM drums channel never used
+
+
+def test_distinct_channels_for_concurrent_bending_instruments(tmp_path):
+    # 12 simultaneous pitches in multiple_pitch_bends style: every instrument
+    # must land on its own channel (none on drums ch 9) so bends don't bleed
+    midi = midi_io.MidiFile()
+    for k in range(12):
+        inst = midi_io.Instrument()
+        inst.notes.append(midi_io.Note(0.0, 1.0, 48 + k, 100))
+        inst.pitch_bends.append(midi_io.PitchBend(0.5, 1000 + k))
+        midi.instruments.append(inst)
+    path = tmp_path / "twelve.mid"
+    midi.write(path)
+    _, _, tracks = _parse_smf(path.read_bytes())
+    channels = []
+    for body in tracks[1:]:
+        chans = {b & 0x0F for b in body if (b & 0xF0) == 0x90 and b >= 0x80}
+        assert len(chans) == 1
+        channels.append(chans.pop())
+    assert 9 not in channels
+    assert len(set(channels)) == len(channels) == 12

@@ -192,3 +192,67 @@ def test_eval_f1():
     assert m4["n_matched"] == 1
     # empty edge cases
     assert evaluation.precision_recall_f1([], [])["f1"] == 0.0
+
+
+def test_reduce_lr_on_plateau_keras_semantics():
+    # scripted loss sequence reproducing keras.callbacks.ReduceLROnPlateau
+    # (patience=2, factor=0.5, min_delta=0.05, cooldown=1)
+    sched = train_loop.ReduceLROnPlateau(factor=0.5, patience=2, min_delta=0.05, cooldown=1)
+    lr = 1.0
+    history = []
+    #         improve   sub-min_delta wobble (no reset)  plateau...
+    seq = [1.0, 0.5, 0.49, 0.48, 0.6, 0.6, 0.6, 0.6, 0.6]
+    for v in seq:
+        lr, reduced = sched.step(v, lr)
+        history.append((lr, reduced))
+    # epoch0 1.0 improves (best inf->1.0); epoch1 0.5 improves; epochs 2,3 are
+    # within min_delta of 0.5 -> wait 1,2 -> cut at epoch3 and cooldown starts.
+    # Keras decrements the cooldown counter at the top of the epoch, so the
+    # single cooldown epoch (4) still increments wait afterwards -> the next
+    # cut lands on epoch5, then the cycle repeats (cooldown 6, cut 7, wait 8).
+    assert [r for _, r in history] == [False, False, False, True, False, True, False, True, False]
+    assert history[-1][0] == 0.125
+    # best is NOT reset by a reduction: only a real improvement updates it
+    assert sched.best == 0.5
+
+
+def test_early_stopping_keras_semantics():
+    es = train_loop.EarlyStopping(patience=3, min_delta=0.0)
+    seq = [1.0, 0.9, 0.95, 0.95, 0.89, 0.95, 0.95]
+    stops = [es.step(v) for v in seq]
+    # improvements at 1.0, 0.9, 0.89 reset the wait; never 3 bad in a row,
+    # but the tail leaves wait=2 (epochs 5,6)
+    assert stops == [False] * 7
+    assert es.step(0.95) is True  # third consecutive non-improvement
+
+
+def test_no_contours_train_step():
+    # with no_contours the "contour" output is a relu'd hidden activation;
+    # the loss must skip it (reference intent: train.py:144-147 loss_no_contour)
+    rng = np.random.RandomState(0)
+    model_config = nmp.ModelConfig(no_contours=True)
+    config = train_loop.TrainConfig(learning_rate=5e-3)
+    optimizer = train_loop.make_optimizer(config)
+    params = nmp.init_params(jax.random.PRNGKey(0), model_config)
+    opt_state = optimizer.init(params)
+    step = train_loop.build_train_step(optimizer, config, model_config)
+    batch = _random_batch(rng)
+    params, opt_state, m0 = step(params, opt_state, batch)
+    assert "loss_contour" not in m0
+    assert np.isfinite(float(m0["loss"]))
+    params, opt_state, m1 = step(params, opt_state, batch)
+    params, opt_state, m2 = step(params, opt_state, batch)
+    assert float(m2["loss"]) < float(m0["loss"])
+
+
+def test_total_loss_no_contours_excludes_head():
+    rng = np.random.RandomState(0)
+    batch = _random_batch(rng)
+    outputs = {
+        "contour": jnp.asarray(rng.randn(2, 172, 264).astype(np.float32)) * 10.0,  # relu-ish, not a probability
+        "note": jnp.asarray(np.clip(batch["targets"]["note"], 1e-4, 1 - 1e-4)),
+        "onset": jnp.asarray(np.clip(batch["targets"]["onset"] * 0.5 + 0.25, 1e-4, 1 - 1e-4)),
+    }
+    total, per_head = losses.total_loss(outputs, batch["targets"], no_contours=True)
+    assert set(per_head) == {"note", "onset"}
+    assert np.isfinite(float(total))
