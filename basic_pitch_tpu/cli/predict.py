@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import argparse
 import pathlib
+import traceback
 
 from basic_pitch_tpu.models.params import ICASSP_2022_WEIGHTS_PATH
 
@@ -64,25 +65,36 @@ def main() -> None:
         "✨✨✨✨✨✨✨✨✨\n"
     )
 
-    inference.predict_and_save(
-        args.audio_paths,
-        args.output_dir,
-        args.save_midi,
-        args.sonify_midi,
-        args.save_model_outputs,
-        args.save_note_events,
-        args.model_path,
-        args.onset_threshold,
-        args.frame_threshold,
-        args.minimum_note_length,
-        args.minimum_frequency,
-        args.maximum_frequency,
-        args.multiple_pitch_bends,
-        args.melodia_trick,
-        args.debug_file,
-        args.sonification_samplerate,
-        args.midi_tempo,
-    )
+    # match the reference's error UX (`predict.py:167-194`): IOError prints
+    # its message; anything else prints a banner + traceback, never a bare crash
+    try:
+        inference.predict_and_save(
+            args.audio_paths,
+            args.output_dir,
+            args.save_midi,
+            args.sonify_midi,
+            args.save_model_outputs,
+            args.save_note_events,
+            args.model_path,
+            args.onset_threshold,
+            args.frame_threshold,
+            args.minimum_note_length,
+            args.minimum_frequency,
+            args.maximum_frequency,
+            args.multiple_pitch_bends,
+            args.melodia_trick,
+            args.debug_file,
+            args.sonification_samplerate,
+            args.midi_tempo,
+        )
+        print("\n✨ Done ✨\n")
+    except IOError as ioe:
+        print(ioe)
+    except Exception as e:
+        print("🚨 Something went wrong 😔 - see the traceback below for details.")
+        print("")
+        print(e)
+        print(traceback.format_exc())
 
 
 if __name__ == "__main__":

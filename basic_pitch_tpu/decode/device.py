@@ -49,8 +49,10 @@ BEND_WINDOW = 2 * N_BEND_TOLERANCE + 1
 
 # scans/zeroing operate on a window of this many frames around each note
 # seed (with an exact full-length fallback for notes that outgrow it);
-# per-note cost is then independent of recording length
-SCAN_WINDOW = 4096
+# per-note cost is then independent of recording length. 1024 frames covers
+# notes up to ~12 s; measured 172 ms vs 194 ms at 4096 for a 600 s recording
+# (the loop is iteration-latency-bound, so smaller slabs help only a little)
+SCAN_WINDOW = 1024
 
 
 class DecodedNotes(NamedTuple):

@@ -193,7 +193,9 @@ def run_inference(
         with open(debug_file, "w") as fh:
             json.dump(
                 {
-                    "audio_windowed": windows[-1:, :, None].tolist(),
+                    # all windows, shaped (n, samples, 1) like the reference's
+                    # dump (`inference.py:317-328`)
+                    "audio_windowed": windows[:, :, None].tolist(),
                     "audio_original_length": original_length,
                     "hop_size_samples": hop_size,
                     "overlap_length_samples": overlap_len,

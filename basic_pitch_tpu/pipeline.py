@@ -44,6 +44,20 @@ FRAMES_PER_WINDOW = constants.N_FRAMES_PER_WINDOW_TRIMMED  # 142
 _DEC_HALO = 128  # left context the 257-tap decimator needs
 
 
+def _unfold_windows(piece: jnp.ndarray, w: int) -> jnp.ndarray:
+    """(w*HOP + OVERLAP,) audio -> (w, WINDOW) overlapping model windows.
+
+    Window i is piece[i*HOP : i*HOP + WINDOW]. Built from two reshapes — the
+    HOP-long window bodies tile the signal exactly, and each OVERLAP-long tail
+    is the same tiling of the signal shifted one hop — instead of a (w, 43844)
+    gather, which XLA lowers ~13x slower on TPU (measured 39 ms vs 3 ms per
+    128-window chunk). Bit-identical to piece[idx].
+    """
+    body = piece[: w * HOP].reshape(w, HOP)
+    shifted = jnp.pad(piece[HOP:], (0, HOP - OVERLAP))[: w * HOP].reshape(w, HOP)
+    return jnp.concatenate([body, shifted[:, :OVERLAP]], axis=1)
+
+
 class StreamingTranscriber:
     """Chunked device pipeline producing reference-identical posteriorgrams.
 
@@ -81,11 +95,6 @@ class StreamingTranscriber:
             replicated = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
             self.params = jax.device_put(self.params, replicated)
 
-        # static unfold indices: window w covers [w*HOP, w*HOP + WINDOW)
-        self._window_idx = (
-            HOP * np.arange(self.w)[:, None] + np.arange(WINDOW)[None, :]
-        )
-
         self._chunk_fn_22k = self._build(chunk_is_44k=False)
         self._chunk_fn_44k = self._build(chunk_is_44k=True)
         self._piece_cache = {}
@@ -104,7 +113,6 @@ class StreamingTranscriber:
 
         from basic_pitch_tpu.decode import device as device_decode
 
-        idx = self._window_idx
         precision = self.precision
         config = self.config
 
@@ -116,7 +124,7 @@ class StreamingTranscriber:
                 piece = resample_ops.decimate2(
                     piece, precision=precision, halo=True, n_out=self.chunk_len
                 )
-            windows = piece[idx]
+            windows = _unfold_windows(piece, self.w)
             out = nmp.predict_fn(params, windows, config, precision=precision)
             out = {
                 k: v[:, TRIM : v.shape[1] - TRIM, :].reshape(
@@ -200,7 +208,6 @@ class StreamingTranscriber:
                 yield _padded_slice(audio, lo, lo + self.chunk_len)
 
     def _build(self, chunk_is_44k: bool):
-        idx = self._window_idx
         precision = self.precision
         config = self.config
         slice_len = 2 * self.chunk_len + 2 * _DEC_HALO if chunk_is_44k else self.chunk_len
@@ -215,7 +222,7 @@ class StreamingTranscriber:
                 chunk = resample_ops.decimate2(
                     chunk, precision=precision, halo=True, n_out=self.chunk_len
                 )
-            windows = chunk[idx]  # (W, WINDOW) static gather
+            windows = _unfold_windows(chunk, self.w)  # (W, WINDOW), reshapes only
             out = nmp.predict_fn(params, windows, config, precision=precision)
             # overlap trim + fold windows into the time axis
             return {
@@ -422,16 +429,32 @@ class StreamingTranscriber:
             ),
         }
 
+    def _collect_many(self, tickets):
+        """Fetch all dispatched recordings' buffers in ONE device_get, then
+        assemble events per recording — a single blocking round trip through
+        the device link instead of one per recording."""
+        fetched = jax.device_get(
+            [(t["decoded_dev"], t["bends_inline_dev"]) for t in tickets]
+        )
+        return [
+            self._assemble(ticket, decoded, bends_inline)
+            for ticket, (decoded, bends_inline) in zip(tickets, fetched)
+        ]
+
     def _collect(self, ticket):
         """Block on one dispatched recording and assemble its note events."""
+        decoded, bends_inline = jax.device_get(
+            (ticket["decoded_dev"], ticket["bends_inline_dev"])
+        )
+        return self._assemble(ticket, decoded, bends_inline)
+
+    def _assemble(self, ticket, decoded, bends_inline):
+        """Host-side event assembly from fetched decode buffers."""
         from basic_pitch_tpu.decode import device as device_decode
         from basic_pitch_tpu.decode import notes as host_decode
 
         opts = ticket["options"]
         n_frames = ticket["n_frames"]
-        decoded, bends_inline = jax.device_get(
-            (ticket["decoded_dev"], ticket["bends_inline_dev"])
-        )
 
         if bool(decoded.overflow):  # pathological density: host fallback
             out, _ = self._device_posteriorgrams(ticket["audio"], ticket["sample_rate"])
@@ -524,7 +547,7 @@ class StreamingTranscriber:
             )
             for audio, sr in recordings
         ]
-        return [self._collect(t) for t in tickets]
+        return self._collect_many(tickets)
 
     def transcribe_file(self, audio_path) -> Dict[str, np.ndarray]:
         """Decode an audio file on host and transcribe. WAV uses the native

@@ -51,6 +51,24 @@ def synth_audio(seconds: float, sample_rate: int = 22050, seed: int = 0) -> np.n
     return y
 
 
+def real_audio(seconds: float, sample_rate: int = 22050) -> np.ndarray:
+    """Real-recording-derived workload: the reference's vocadito vocal clip,
+    tiled to the requested length (posteriorgram density of real music, not
+    a synthetic sine pile)."""
+    import pathlib
+
+    from basic_pitch_tpu.utils import audio as audio_io
+
+    clip_path = pathlib.Path("/root/reference/tests/resources/vocadito_10.wav")
+    if not clip_path.exists():  # fall back to synthetic when fixtures absent
+        return synth_audio(seconds, sample_rate, seed=99)
+    samples, sr = audio_io.read_wav(str(clip_path))
+    mono = audio_io.resample(audio_io.to_mono(samples), sr, sample_rate)
+    n = int(seconds * sample_rate)
+    reps = -(-n // len(mono))
+    return np.tile(mono, reps)[:n]
+
+
 def main() -> None:
     from basic_pitch_tpu import pipeline
 
@@ -58,14 +76,20 @@ def main() -> None:
     seconds_per_file = 600.0
     audio_seconds = n_files * seconds_per_file
 
-    # PCM16 at the model rate: byte-identical to what a 22.05 kHz WAV holds
+    # PCM16 at the model rate: byte-identical to what a 22.05 kHz WAV holds.
+    # Three synthetic piano-ish recordings plus one real vocal recording
+    # (tiled vocadito) so the decoder's note-density-dependent cost is
+    # exercised on real music too.
     recordings = []
-    for seed in range(n_files):
+    for seed in range(n_files - 1):
         y = synth_audio(seconds_per_file, seed=seed)
         pcm = np.clip(np.round(y * 32768.0), -32768, 32767).astype(np.int16)
         recordings.append((pcm, 22050))
+    y = real_audio(seconds_per_file)
+    pcm = np.clip(np.round(y * 32768.0), -32768, 32767).astype(np.int16)
+    recordings.append((pcm, 22050))
 
-    transcriber = pipeline.StreamingTranscriber(windows_per_chunk=128)
+    transcriber = pipeline.StreamingTranscriber(windows_per_chunk=192)
 
     # warmup: compile chunk + decode executables at the bench shapes
     transcriber.transcribe(recordings[0][0], 22050)
