@@ -52,10 +52,17 @@ _MAX_DEVICE_BATCH = 128  # windows per device dispatch
 class Model:
     """Loads a checkpoint and exposes batched jitted prediction.
 
-    Accepts our flat-npz checkpoints (`models/params.py`) or an
+    Accepts our flat-npz checkpoints (`models/params.py`), a stock TF
+    SavedModel directory (read WITHOUT TensorFlow by
+    `models/savedmodel.py` — the reference's canonical serialization,
+    `/root/reference/basic_pitch/inference.py:78-94`), or an
     already-constructed parameter pytree. The jitted forward is compiled per
     power-of-two batch bucket, so arbitrary window counts reuse a handful of
     executables.
+
+    The reference's other serializations get explicit errors: CoreML /
+    TFLite / ONNX are engine-specific formats whose runtimes this framework
+    intentionally replaces with XLA (single-engine design, PARITY.md).
     """
 
     def __init__(
@@ -64,16 +71,35 @@ class Model:
         config: nmp.ModelConfig = nmp.DEFAULT_CONFIG,
     ):
         if isinstance(model_or_path, (str, pathlib.Path)):
-            self.params = params_io.load_params(model_or_path)
+            self.params = self._load_checkpoint(model_or_path)
         elif isinstance(model_or_path, dict):
             self.params = model_or_path
         else:
             raise ValueError(
                 f"cannot load model from {model_or_path!r}: expected a checkpoint "
-                "path (.npz) or a parameter pytree"
+                "path (.npz / TF SavedModel directory) or a parameter pytree"
             )
         self.config = config
         self._forward = jax.jit(lambda p, a: nmp.predict_fn(p, a, config))
+
+    @staticmethod
+    def _load_checkpoint(path: PathLike) -> Dict:
+        from basic_pitch_tpu.models import savedmodel
+
+        p = pathlib.Path(path)
+        if savedmodel.looks_like_savedmodel(p):
+            return savedmodel.load_nmp_savedmodel(p)
+        suffix = p.suffix.lower()
+        if suffix in (".mlpackage", ".mlmodel", ".tflite", ".onnx") or (
+            p.is_dir() and p.name.endswith(".mlpackage")
+        ):
+            raise ValueError(
+                f"🚨 {path} is a {suffix or '.mlpackage'} serialization. This "
+                "framework runs one engine (XLA); load the TF SavedModel "
+                "directory or a flat-npz checkpoint instead — all four "
+                "reference serializations hold the same weights."
+            )
+        return params_io.load_params(p)
 
     def predict(self, audio_windows: np.ndarray) -> Dict[str, np.ndarray]:
         """Run the model over (n_windows, AUDIO_N_SAMPLES [, 1]) audio.
