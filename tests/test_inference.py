@@ -164,3 +164,19 @@ def test_verify_paths(tmp_path):
     with pytest.raises(ValueError):
         inference.verify_output_dir(tmp_path / "missing_dir")
     inference.verify_output_dir(tmp_path)
+
+
+def test_filename_suffix_api():
+    """Reference-compatible path-resolution API (`__init__.py:74-95`)."""
+    import pathlib
+
+    import pytest as _pytest
+
+    import basic_pitch_tpu as bp
+
+    assert set(bp.FilenameSuffix.__members__) == {"tf", "coreml", "tflite", "onnx"}
+    path = bp.build_icassp_2022_model_path(bp.FilenameSuffix.tf)
+    assert pathlib.Path(path).exists()
+    for suffix in (bp.FilenameSuffix.coreml, bp.FilenameSuffix.tflite, bp.FilenameSuffix.onnx):
+        with _pytest.raises(ValueError, match="XLA"):
+            bp.build_icassp_2022_model_path(suffix)
