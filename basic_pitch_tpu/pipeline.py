@@ -158,15 +158,32 @@ class StreamingTranscriber:
         self._piece_cache[is_44k] = fn
         return fn
 
-    def _decode_fused_fn(self, include_bends: bool, max_notes: int, infer_onsets: bool, melodia_trick: bool):
-        """Jitted decode program over full concatenated posteriorgrams."""
-        key = (include_bends, max_notes, infer_onsets, melodia_trick)
+    def _decode_fused_fn(self, include_bends: bool, max_notes: int, infer_onsets: bool, melodia_trick: bool, n_chunks: int):
+        """Jitted decode program over one recording's chunk outputs.
+
+        Takes the per-chunk output dicts directly and concatenates + pads to
+        the bucketed frame count INSIDE the program — keeping the eager
+        per-recording dispatch count at one (each eager op pays tunnel
+        dispatch latency on remote devices). ``n_chunks`` is the pow2 bucket;
+        real chunks are followed by zero-padding to the bucket length.
+        """
+        key = (include_bends, max_notes, infer_onsets, melodia_trick, n_chunks)
         if key in self._decode_cache:
             return self._decode_cache[key]
 
         from basic_pitch_tpu.decode import device as device_decode
 
-        def run(note, onset, bends_all, n_frames, onset_t, frame_t, min_len, freq_mask):
+        frames_per_chunk = self.w * FRAMES_PER_WINDOW
+
+        def run(chunks, n_frames, onset_t, frame_t, min_len, freq_mask):
+            pad_frames = (n_chunks - len(chunks)) * frames_per_chunk
+            note = jnp.concatenate([c["note"] for c in chunks])
+            onset = jnp.concatenate([c["onset"] for c in chunks])
+            bends_all = jnp.concatenate([c["bends"] for c in chunks])
+            if pad_frames:
+                note = jnp.pad(note, ((0, pad_frames), (0, 0)))
+                onset = jnp.pad(onset, ((0, pad_frames), (0, 0)))
+                bends_all = jnp.pad(bends_all, ((0, pad_frames), (0, 0)))
             # frames past the recording come from zero-padded audio, where
             # the model still emits nonzero activations -- silence them
             valid = (jnp.arange(note.shape[0])[:, None] < n_frames).astype(note.dtype)
@@ -188,7 +205,7 @@ class StreamingTranscriber:
                 bends_inline = device_decode.gather_note_bends(bends_all, decoded)
             else:
                 bends_inline = None
-            return decoded, bends_inline
+            return decoded, bends_inline, bends_all
 
         fn = jax.jit(run)
         self._decode_cache[key] = fn
@@ -384,22 +401,14 @@ class StreamingTranscriber:
         outs = []
         for piece in self._pieces(audio, is_44k, n_chunks):
             outs.append(piece_fn(self.params, jax.device_put(piece)))
-        post = {k: jnp.concatenate([o[k] for o in outs]) for k in outs[0]}
-        # pad the chunk count to a pow2 bucket so the decode executable is
-        # shared across file lengths
+        # the decode executable is keyed by the pow2 chunk bucket, so file
+        # lengths share a handful of programs; concat + pad happen in-graph
         bucket = 1 << max(0, (n_chunks - 1).bit_length())
-        if bucket != n_chunks:
-            extra = (bucket - n_chunks) * self.w * FRAMES_PER_WINDOW
-            post = {k: jnp.pad(v, ((0, extra), (0, 0))) for k, v in post.items()}
-
         decode = self._decode_fused_fn(
-            include_pitch_bends, max_notes, infer_onsets, melodia_trick
+            include_pitch_bends, max_notes, infer_onsets, melodia_trick, bucket
         )
-        bends_all_dev = post["bends"]
-        decoded_dev, bends_inline_dev = decode(
-            post["note"],
-            post["onset"],
-            bends_all_dev,
+        decoded_dev, bends_inline_dev, bends_all_dev = decode(
+            outs,
             n_frames,
             onset_threshold,
             frame_threshold,

@@ -103,7 +103,7 @@ def main() -> None:
         events = results
 
     single = 0.0
-    for _ in range(2):
+    for _ in range(4):
         t0 = time.time()
         transcriber.transcribe(recordings[0][0], 22050)
         single = max(single, seconds_per_file / (time.time() - t0))
