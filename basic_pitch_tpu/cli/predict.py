@@ -22,7 +22,16 @@ def build_parser() -> argparse.ArgumentParser:
         "--model-path",
         type=str,
         default=str(ICASSP_2022_WEIGHTS_PATH),
-        help="checkpoint to use (flat-npz parameter archive)",
+        help="checkpoint to use: a flat-npz parameter archive or a stock TF "
+        "SavedModel directory (loaded without TensorFlow)",
+    )
+    parser.add_argument(
+        "--model-serialization",
+        type=str,
+        choices=["tf", "coreml", "tflite", "onnx"],
+        help="If used, --model-path is ignored and the bundled checkpoint for "
+        "this serialization is used (only 'tf' is loadable — this framework "
+        "runs one engine, XLA; the weights are identical across formats)",
     )
     parser.add_argument("--save-midi", action="store_true", default=True, help=argparse.SUPPRESS)
     parser.add_argument("--no-save-midi", dest="save_midi", action="store_false", help="do not save midi")
@@ -53,7 +62,12 @@ def main() -> None:
     args = build_parser().parse_args()
 
     # deferred import keeps `--help` fast (no JAX/XLA startup)
+    from basic_pitch_tpu import FilenameSuffix, build_icassp_2022_model_path
     from basic_pitch_tpu import inference
+
+    model_path = args.model_path
+    if args.model_serialization:
+        model_path = build_icassp_2022_model_path(FilenameSuffix[args.model_serialization])
 
     inference.verify_output_dir(args.output_dir)
     for audio_path in args.audio_paths:
@@ -75,7 +89,7 @@ def main() -> None:
             args.sonify_midi,
             args.save_model_outputs,
             args.save_note_events,
-            args.model_path,
+            model_path,
             args.onset_threshold,
             args.frame_threshold,
             args.minimum_note_length,
