@@ -351,15 +351,13 @@ def decode(
     # per note instead of a full-matrix reduction (~36 MB), while still
     # reproducing np.argmax's row-major (t, then f) tie-breaking.
 
-    n_blocks = n_frames // W if windowed else 1
-
     def row_stats(rows):
         rmax = jnp.max(rows, axis=1)
         tfirst = jnp.argmax(rows == rmax[:, None], axis=1).astype(jnp.int32)
         return rmax, tfirst
 
     def melodia_cond(state):
-        it, _, rowmax, _, _, _ = state
+        it, _, rowmax, _, _ = state
         return (jnp.max(rowmax) > frame_thresh) & (it < max_melodia_iters)
 
     def _apply_note(remaining, freq, t_mid):
@@ -404,45 +402,21 @@ def decode(
 
         return jax.lax.cond(sufficient, window_branch, full_branch, remaining)
 
-    def _refresh_stats(remaining, blockmax, freq, touched_lo):
-        """Recompute block maxima for the 3 touched rows, then their row
-        max + first-occurrence time from the blocks. touched_lo is the
-        window start of the zeroed slab, or -1 after a full-length fallback.
+    def _refresh_stats(remaining, freq):
+        """Recompute row max + first-occurrence time for the 3 touched rows.
+
+        One contiguous (3, T) slice + reductions (~650 KB of HBM traffic).
+        A finer block-maxima scheme that rescanned only the zeroed slab was
+        measured at the same speed — the loop is per-iteration-latency-bound
+        in `_apply_note`'s scans, not here — so the simpler exact form stays.
         """
         row0 = jnp.clip(freq - 1, 0, F - 3)
-        if windowed:
-            # the claimed region spans at most 2 W-aligned blocks in window
-            # mode; a full-length fallback may touch everything
-            def window_blocks(bm):
-                b0 = jnp.clip(touched_lo // W, 0, n_blocks - 2)
-                rows = jax.lax.dynamic_slice(remaining, (row0, b0 * W), (3, 2 * W))
-                bm3 = jnp.max(rows.reshape(3, 2, W), axis=2)
-                return jax.lax.dynamic_update_slice(bm, bm3, (row0, b0))
-
-            def all_blocks(bm):
-                rows = jax.lax.dynamic_slice(remaining, (row0, 0), (3, n_frames))
-                bm3 = jnp.max(rows.reshape(3, n_blocks, W), axis=2)
-                return jax.lax.dynamic_update_slice(bm, bm3, (row0, 0))
-
-            blockmax = jax.lax.cond(touched_lo < 0, all_blocks, window_blocks, blockmax)
-            bm3 = jax.lax.dynamic_slice(blockmax, (row0, 0), (3, n_blocks))
-            rmax3 = jnp.max(bm3, axis=1)
-            # first block attaining the max, then first time within it
-            first_block = jnp.argmax(bm3 == rmax3[:, None], axis=1).astype(jnp.int32)
-            tfirst_rows = []
-            for j in range(3):
-                block = jax.lax.dynamic_slice(
-                    remaining, (row0 + j, first_block[j] * W), (1, W)
-                )[0]
-                tfirst_rows.append(first_block[j] * W + jnp.argmax(block == rmax3[j]).astype(jnp.int32))
-            tfirst3 = jnp.stack(tfirst_rows)
-        else:
-            rows = jax.lax.dynamic_slice(remaining, (row0, 0), (3, n_frames))
-            rmax3, tfirst3 = row_stats(rows)
-        return blockmax, rmax3, tfirst3, row0
+        rows = jax.lax.dynamic_slice(remaining, (row0, 0), (3, n_frames))
+        rmax3, tfirst3 = row_stats(rows)
+        return rmax3, tfirst3, row0
 
     def melodia_body(state):
-        it, remaining, rowmax, t_first, buffers, blockmax = state
+        it, remaining, rowmax, t_first, buffers = state
         peak = jnp.max(rowmax)
         # np.argmax((T, F)) tie order: smallest t, then smallest f
         key = jnp.where(rowmax == peak, t_first * F + jnp.arange(F, dtype=jnp.int32), jnp.iinfo(jnp.int32).max)
@@ -450,8 +424,8 @@ def decode(
         t_mid = first // F
         freq = first % F
 
-        remaining, i_start, i_end, touched_lo = _apply_note(remaining, freq, t_mid)
-        blockmax, rmax3, tfirst3, row0 = _refresh_stats(remaining, blockmax, freq, touched_lo)
+        remaining, i_start, i_end, _ = _apply_note(remaining, freq, t_mid)
+        rmax3, tfirst3, row0 = _refresh_stats(remaining, freq)
         rowmax = jax.lax.dynamic_update_slice(rowmax, rmax3, (row0,))
         t_first = jax.lax.dynamic_update_slice(t_first, tfirst3, (row0,))
 
@@ -476,25 +450,14 @@ def decode(
         amplitude = amp_sum / span
 
         buffers = _emit(buffers, i_start, i_end, freq, amplitude, keep)
-        return it + 1, remaining, rowmax, t_first, buffers, blockmax
+        return it + 1, remaining, rowmax, t_first, buffers
 
-    if windowed:
-        blockmax0 = jnp.max(remaining.reshape(F, n_blocks, W), axis=2)
-        rowmax0 = jnp.max(blockmax0, axis=1)
-        fb = jnp.argmax(blockmax0 == rowmax0[:, None], axis=1).astype(jnp.int32)
-        # first time achieving the row max, derived per row from its block
-        gathered = jnp.take_along_axis(
-            remaining.reshape(F, n_blocks, W), fb[:, None, None], axis=1
-        )[:, 0, :]
-        t_first0 = fb * W + jnp.argmax(gathered == rowmax0[:, None], axis=1).astype(jnp.int32)
-    else:
-        blockmax0 = jnp.zeros((F, 1), remaining.dtype)
-        rowmax0, t_first0 = row_stats(remaining)
+    rowmax0, t_first0 = row_stats(remaining)
 
-    it, remaining, rowmax, _, buffers, _ = jax.lax.while_loop(
+    it, remaining, rowmax, _, buffers = jax.lax.while_loop(
         melodia_cond,
         melodia_body,
-        (jnp.asarray(0, jnp.int32), remaining, rowmax0, t_first0, buffers, blockmax0),
+        (jnp.asarray(0, jnp.int32), remaining, rowmax0, t_first0, buffers),
     )
     melodia_truncated = (it >= max_melodia_iters) & (jnp.max(rowmax) > frame_thresh)
     return buffers._replace(overflow=buffers.overflow | melodia_truncated)
