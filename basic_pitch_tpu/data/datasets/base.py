@@ -14,8 +14,6 @@ shells out to sox/ffmpeg the same way, `datasets/slakh.py:81-83`).
 from __future__ import annotations
 
 import pathlib
-import shutil
-import subprocess
 import tempfile
 from typing import Optional, Tuple
 
@@ -32,8 +30,9 @@ def midi_to_hz(pitch_midi) -> np.ndarray:
     return 440.0 * 2.0 ** ((np.asarray(pitch_midi, np.float64) - 69.0) / 12.0)
 
 
-def ffmpeg_available() -> bool:
-    return shutil.which("ffmpeg") is not None
+# re-exported for the dataset builders; the implementation lives with the
+# audio codec it gates
+ffmpeg_available = audio_io.ffmpeg_available
 
 
 def load_any_audio(path: PathLike, channel: Optional[int] = None) -> Tuple[np.ndarray, int]:

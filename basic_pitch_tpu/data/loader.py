@@ -14,8 +14,10 @@ Semantics preserved:
     (`_train_file_generator` `:268-279`);
   * validation: round-robin across datasets (`:282-293`);
   * per-head presence weights with zero-filled missing targets (`:522-588`);
-  * 20 random 2-second windows per track (deterministic per-index seeds for
-    validation), all-silent windows dropped (`:591-729`);
+  * 20 random 2-second windows per track, all-silent windows dropped
+    (`:591-729`); validation windows use deterministic per-(track, index)
+    seeds — a deliberate improvement over the reference's per-index-only
+    seeding, which gives every track the same relative window offsets;
   * optional pairs-mixing augmentation: mean audio / max labels / min
     weights (`:296-321`);
   * example-level shuffle buffer, infinite repeat, cached validation batches.

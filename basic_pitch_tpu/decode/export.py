@@ -71,19 +71,20 @@ def note_events_to_midi(
     )
     for start, end, pitch, amplitude, bends in events:
         velocity = int(np.round(MIDI_VELOCITY_SCALE * amplitude))
-        if velocity == 0:
-            # the reference (pretty_midi) emits velocity 0, which SMF players
-            # interpret as note-off and drop — match the rendered output
-            continue
         instrument = instruments[pitch if multiple_pitch_bends else 0]
-        instrument.notes.append(
-            midi_io.Note(
-                start=float(start),
-                end=float(end),
-                pitch=int(pitch),
-                velocity=velocity,
+        if velocity > 0:
+            instrument.notes.append(
+                midi_io.Note(
+                    start=float(start),
+                    end=float(end),
+                    pitch=int(pitch),
+                    velocity=velocity,
+                )
             )
-        )
+        # velocity 0: the reference (pretty_midi) emits a note-on with
+        # velocity 0, which SMF players interpret as note-off and drop — so
+        # the note is omitted here, but its pitch-bend events still go to the
+        # channel (they alter the channel's bend state either way)
         if not bends:
             continue
         bend_times = np.linspace(start, end, len(bends))

@@ -219,9 +219,11 @@ def run_inference(
         with open(debug_file, "w") as fh:
             json.dump(
                 {
-                    # all windows, shaped (n, samples, 1) like the reference's
-                    # dump (`inference.py:317-328`)
-                    "audio_windowed": windows[:, :, None].tolist(),
+                    # the reference dumps its loop variable after the window
+                    # loop, i.e. ONLY the last (1, samples, 1) window
+                    # (`inference.py:308-321`) — matched exactly; dumping all
+                    # windows would also blow up memory on long recordings
+                    "audio_windowed": windows[-1:, :, None].tolist(),
                     "audio_original_length": original_length,
                     "hop_size_samples": hop_size,
                     "overlap_length_samples": overlap_len,

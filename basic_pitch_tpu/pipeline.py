@@ -161,11 +161,13 @@ class StreamingTranscriber:
     def _decode_fused_fn(self, include_bends: bool, max_notes: int, infer_onsets: bool, melodia_trick: bool, n_chunks: int):
         """Jitted decode program over one recording's chunk outputs.
 
-        Takes the per-chunk output dicts directly and concatenates + pads to
-        the bucketed frame count INSIDE the program — keeping the eager
-        per-recording dispatch count at one (each eager op pays tunnel
-        dispatch latency on remote devices). ``n_chunks`` is the pow2 bucket;
-        real chunks are followed by zero-padding to the bucket length.
+        Takes the per-chunk output dicts directly and concatenates them
+        INSIDE the program — keeping the eager per-recording dispatch count
+        at one (each eager op pays tunnel dispatch latency on remote
+        devices). ``n_chunks`` is the pow2 bucket; the caller pads the chunk
+        list to exactly that length with the cached device-resident zero
+        chunk, so jit's pytree-structure cache key equals the bucket and
+        file lengths share a handful of executables.
         """
         key = (include_bends, max_notes, infer_onsets, melodia_trick, n_chunks)
         if key in self._decode_cache:
@@ -173,17 +175,10 @@ class StreamingTranscriber:
 
         from basic_pitch_tpu.decode import device as device_decode
 
-        frames_per_chunk = self.w * FRAMES_PER_WINDOW
-
         def run(chunks, n_frames, onset_t, frame_t, min_len, freq_mask):
-            pad_frames = (n_chunks - len(chunks)) * frames_per_chunk
             note = jnp.concatenate([c["note"] for c in chunks])
             onset = jnp.concatenate([c["onset"] for c in chunks])
             bends_all = jnp.concatenate([c["bends"] for c in chunks])
-            if pad_frames:
-                note = jnp.pad(note, ((0, pad_frames), (0, 0)))
-                onset = jnp.pad(onset, ((0, pad_frames), (0, 0)))
-                bends_all = jnp.pad(bends_all, ((0, pad_frames), (0, 0)))
             # frames past the recording come from zero-padded audio, where
             # the model still emits nonzero activations -- silence them
             valid = (jnp.arange(note.shape[0])[:, None] < n_frames).astype(note.dtype)
@@ -210,6 +205,19 @@ class StreamingTranscriber:
         fn = jax.jit(run)
         self._decode_cache[key] = fn
         return fn
+
+    def _zero_chunk(self):
+        """Device-resident all-zero chunk output, created once and reused to
+        pad dispatch chunk lists to their pow2 bucket (read-only input, so
+        sharing the same buffers across dispatches is safe)."""
+        if not hasattr(self, "_zero_chunk_cache"):
+            frames = self.w * FRAMES_PER_WINDOW
+            self._zero_chunk_cache = {
+                "note": jnp.zeros((frames, constants.N_FREQ_BINS_NOTES), jnp.float32),
+                "onset": jnp.zeros((frames, constants.N_FREQ_BINS_NOTES), jnp.float32),
+                "bends": jnp.zeros((frames, constants.N_FREQ_BINS_NOTES), jnp.int8),
+            }
+        return self._zero_chunk_cache
 
     def _pieces(self, audio: np.ndarray, is_44k: bool, n_chunks: int):
         """Host-side chunk pieces (views where possible, zero-padded edges)."""
@@ -402,8 +410,11 @@ class StreamingTranscriber:
         for piece in self._pieces(audio, is_44k, n_chunks):
             outs.append(piece_fn(self.params, jax.device_put(piece)))
         # the decode executable is keyed by the pow2 chunk bucket, so file
-        # lengths share a handful of programs; concat + pad happen in-graph
+        # lengths share a handful of programs; the chunk list is padded to
+        # the bucket with a cached zero chunk (same device buffers every
+        # call) so the jit pytree structure matches the bucket exactly
         bucket = 1 << max(0, (n_chunks - 1).bit_length())
+        outs.extend([self._zero_chunk()] * (bucket - n_chunks))
         decode = self._decode_fused_fn(
             include_pitch_bends, max_notes, infer_onsets, melodia_trick, bucket
         )
