@@ -149,21 +149,56 @@ def _zero_rows_window(matrix_ft, freq, wstart, time_mask_center, time_mask_neigh
     )
 
 
-def _emit(buffers: DecodedNotes, start, end, pitch, amplitude, keep) -> DecodedNotes:
-    max_notes = buffers.starts.shape[0]
+class PackedNotes(NamedTuple):
+    """Loop-carried note buffer: one (max_notes, 4) int32 matrix holding
+    [start, end, midi pitch, bitcast(amplitude)] per row. Emitting a note is
+    one dynamic row read + blend + write instead of four separate guarded
+    scatters — the emission happens inside per-note while_loops that are
+    iteration-latency-bound, so op count matters more than bytes."""
+
+    data: jnp.ndarray  # (max_notes, 4) int32
+    n_notes: jnp.ndarray  # () int32
+    overflow: jnp.ndarray  # () bool
+
+
+def _empty_packed(max_notes: int, overflow) -> PackedNotes:
+    return PackedNotes(
+        data=jnp.zeros((max_notes, 4), jnp.int32),
+        n_notes=jnp.asarray(0, jnp.int32),
+        overflow=jnp.asarray(False) | overflow,
+    )
+
+
+def _unpack(buffers: PackedNotes) -> DecodedNotes:
+    return DecodedNotes(
+        starts=buffers.data[:, 0],
+        ends=buffers.data[:, 1],
+        pitches=buffers.data[:, 2],
+        amplitudes=jax.lax.bitcast_convert_type(buffers.data[:, 3], jnp.float32),
+        n_notes=buffers.n_notes,
+        overflow=buffers.overflow,
+    )
+
+
+def _emit(buffers: PackedNotes, start, end, pitch, amplitude, keep) -> PackedNotes:
+    max_notes = buffers.data.shape[0]
     slot = buffers.n_notes
     fits = slot < max_notes
     write = keep & fits
     idx = jnp.where(write, slot, 0)
 
-    def put(buf, value):
-        return jnp.where(write, buf.at[idx].set(value.astype(buf.dtype)), buf)
-
-    return DecodedNotes(
-        starts=put(buffers.starts, start),
-        ends=put(buffers.ends, end),
-        pitches=put(buffers.pitches, pitch + host_decode.MIDI_PITCH_OFFSET),
-        amplitudes=put(buffers.amplitudes, amplitude),
+    row = jnp.stack(
+        [
+            start.astype(jnp.int32),
+            end.astype(jnp.int32),
+            (pitch + host_decode.MIDI_PITCH_OFFSET).astype(jnp.int32),
+            jax.lax.bitcast_convert_type(amplitude.astype(jnp.float32), jnp.int32),
+        ]
+    )[None, :]
+    old = jax.lax.dynamic_slice(buffers.data, (idx, 0), (1, 4))
+    blended = jnp.where(write, row, old)
+    return PackedNotes(
+        data=jax.lax.dynamic_update_slice(buffers.data, blended, (idx, 0)),
         n_notes=buffers.n_notes + write.astype(jnp.int32),
         overflow=buffers.overflow | (keep & ~fits),
     )
@@ -266,14 +301,7 @@ def decode(
     remaining0 = frames_ft
     pos = jnp.arange(n_frames)
 
-    empty = DecodedNotes(
-        starts=jnp.zeros(max_notes, jnp.int32),
-        ends=jnp.zeros(max_notes, jnp.int32),
-        pitches=jnp.zeros(max_notes, jnp.int32),
-        amplitudes=jnp.zeros(max_notes, jnp.float32),
-        n_notes=jnp.asarray(0, jnp.int32),
-        overflow=jnp.asarray(False) | onset_overflow,
-    )
+    empty = _empty_packed(max_notes, onset_overflow)
 
     # ---- stage 1: onset-anchored notes, backward in time -----------------
     W = SCAN_WINDOW
@@ -342,7 +370,7 @@ def decode(
     )
 
     if not melodia_trick:
-        return buffers
+        return _unpack(buffers)
 
     # ---- stage 2: melodia trick — residual-energy region growing ---------
     # The global argmax is maintained INCREMENTALLY: per-frequency maxima and
@@ -460,7 +488,7 @@ def decode(
         (jnp.asarray(0, jnp.int32), remaining, rowmax0, t_first0, buffers),
     )
     melodia_truncated = (it >= max_melodia_iters) & (jnp.max(rowmax) > frame_thresh)
-    return buffers._replace(overflow=buffers.overflow | melodia_truncated)
+    return _unpack(buffers._replace(overflow=buffers.overflow | melodia_truncated))
 
 
 # ---------------------------------------------------------------------------
