@@ -1,0 +1,85 @@
+"""Pallas decode kernel: parity with the XLA decoder (interpret mode).
+
+The kernel's scan math is formula-identical to `decode/device.py`; these
+tests pin (start, end, pitch) exactly and amplitudes to the same 2e-6
+tolerance the XLA-vs-host-oracle contract uses (test_device_decode.py).
+On real TPU hardware the same assertions were verified at bench scale
+(54528 frames, 2797 notes) — see DESIGN.md §4d.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from basic_pitch_tpu.decode import device as device_decode
+from basic_pitch_tpu.decode import pallas_kernel
+
+
+def _compare(frames, onsets, melodia, max_notes=2048, onset_t=0.5, frame_t=0.3, min_len=5):
+    ref = jax.jit(
+        lambda f, o: device_decode.decode(
+            f, o, onset_t, frame_t, min_len, None, True, melodia,
+            max_notes=max_notes, max_melodia_iters=4 * max_notes,
+        )
+    )(frames, onsets)
+    out = pallas_kernel.decode_pallas(
+        frames, onsets, onset_t, frame_t, min_len, melodia_trick=melodia,
+        max_notes=max_notes, max_melodia_iters=4 * max_notes, interpret=True,
+    )
+    n1, n2 = int(ref.n_notes), int(out.n_notes)
+    assert n1 == n2, (n1, n2)
+    assert bool(ref.overflow) == bool(out.overflow)
+    for field in ("starts", "ends", "pitches"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(ref, field)[:n1]),
+            np.asarray(getattr(out, field)[:n1]),
+            err_msg=field,
+        )
+    np.testing.assert_allclose(
+        np.asarray(ref.amplitudes[:n1]), np.asarray(out.amplitudes[:n1]), atol=2e-6
+    )
+    return n1
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_fuzz_parity_with_melodia(seed):
+    rng = np.random.RandomState(seed)
+    frames = (rng.rand(300, 88) ** 3).astype(np.float32)
+    onsets = (rng.rand(300, 88) ** 5).astype(np.float32)
+    n = _compare(frames, onsets, melodia=True)
+    assert n > 100  # meaningfully exercised
+
+
+def test_onset_stage_only():
+    rng = np.random.RandomState(3)
+    frames = (rng.rand(300, 88) ** 3).astype(np.float32)
+    onsets = (rng.rand(300, 88) ** 5).astype(np.float32)
+    _compare(frames, onsets, melodia=False)
+
+
+def test_multi_slab_timeline():
+    """Timelines longer than SLAB exercise the carried slab-loop scans."""
+    rng = np.random.RandomState(7)
+    frames = (rng.rand(1500, 88) ** 3).astype(np.float32)
+    onsets = (rng.rand(1500, 88) ** 5).astype(np.float32)
+    _compare(frames, onsets, melodia=True)
+
+
+def test_dense_low_thresholds():
+    rng = np.random.RandomState(8)
+    frames = (rng.rand(300, 88) ** 2).astype(np.float32)
+    onsets = (rng.rand(300, 88) ** 4).astype(np.float32)
+    _compare(frames, onsets, melodia=True, onset_t=0.3, frame_t=0.15)
+
+
+def test_long_sustained_notes_cross_slabs():
+    """A note sustained across several slabs drives the scan-state carry."""
+    frames = np.zeros((2100, 88), np.float32)
+    onsets = np.zeros((2100, 88), np.float32)
+    frames[10:2050, 40] = 0.9  # ~2040-frame note spanning two 1024-slabs
+    onsets[9, 40] = 0.2
+    onsets[10, 40] = 0.9
+    onsets[11, 40] = 0.2
+    n = _compare(frames, onsets, melodia=True)
+    assert n >= 1
