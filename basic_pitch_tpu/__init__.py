@@ -20,12 +20,14 @@ ICASSP_2022_MODEL_PATH = ICASSP_2022_WEIGHTS_PATH
 class FilenameSuffix(enum.Enum):
     """The reference's serialization selector (`__init__.py:74-88`).
 
-    This framework runs one engine (XLA). ``tf`` resolves to a loadable
-    checkpoint: the bundled flat-npz weights (bit-identical to the TF
-    SavedModel's variables — `tests/test_savedmodel.py`), and a stock TF
-    SavedModel directory also loads directly via `inference.Model`.
-    The engine-specific formats (coreml/tflite/onnx) have no XLA loader and
-    raise a documented error when requested.
+    Every reference serialization is loadable here — not by probing four
+    native runtimes as the reference does (`__init__.py:23-71`), but with
+    first-party format readers (`models/{savedmodel,onnx_import,
+    tflite_import,coreml_import}.py`) that all feed the one XLA engine.
+    ``tf`` resolves to the bundled flat-npz weights (bit-identical to the
+    TF SavedModel's variables — `tests/test_savedmodel.py`); the other
+    suffixes resolve to a reference `saved_models/icassp_2022` checkout
+    when one is locatable (see `build_icassp_2022_model_path`).
     """
 
     tf = "npz"
@@ -34,13 +36,49 @@ class FilenameSuffix(enum.Enum):
     onnx = "onnx"
 
 
+def _reference_saved_models_dir() -> "pathlib.Path | None":
+    """Locate a reference basic-pitch `saved_models/icassp_2022` directory.
+
+    Checks `BASIC_PITCH_SAVED_MODELS`, then an installed `basic_pitch`
+    package. Returns None when neither exists.
+    """
+    import os
+
+    env = os.environ.get("BASIC_PITCH_SAVED_MODELS")
+    if env and pathlib.Path(env).is_dir():
+        return pathlib.Path(env)
+    try:
+        import basic_pitch  # the reference package, if installed
+
+        candidate = pathlib.Path(basic_pitch.__file__).parent / "saved_models" / "icassp_2022"
+        if candidate.is_dir():
+            return candidate
+    except ImportError:
+        pass
+    return None
+
+
 def build_icassp_2022_model_path(suffix: FilenameSuffix) -> pathlib.Path:
-    """Reference-compatible model-path resolution (`__init__.py:91-95`)."""
+    """Reference-compatible model-path resolution (`__init__.py:91-95`).
+
+    ``tf`` always resolves (bundled weights). The coreml/tflite/onnx
+    serializations resolve to the reference package's shipped artifact when
+    one can be found; all four load through `inference.Model`'s own
+    format readers, no per-format runtime required.
+    """
     if suffix is FilenameSuffix.tf:
         return pathlib.Path(ICASSP_2022_MODEL_PATH)
-    raise ValueError(
-        f"🚨 the {suffix.name} serialization targets the reference's "
-        f"{suffix.name} runtime; this framework's single engine is XLA. "
-        "Use FilenameSuffix.tf (bundled weights) or pass a TF SavedModel "
-        "directory to Model()."
+    ref_dir = _reference_saved_models_dir()
+    if ref_dir is not None:
+        name = "nmp" if suffix is FilenameSuffix.tf else f"nmp.{suffix.value}"
+        candidate = ref_dir / name
+        if candidate.exists():
+            return candidate
+    raise FileNotFoundError(
+        f"🚨 no {suffix.name} serialization of the ICASSP-2022 checkpoint is "
+        "bundled with this package (only the npz weights are). Point "
+        "BASIC_PITCH_SAVED_MODELS at a reference saved_models/icassp_2022 "
+        f"directory, or pass any nmp.{suffix.value} path straight to "
+        "Model() — its format readers load all four reference "
+        "serializations without the matching runtime."
     )

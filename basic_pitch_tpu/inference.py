@@ -52,17 +52,17 @@ _MAX_DEVICE_BATCH = 128  # windows per device dispatch
 class Model:
     """Loads a checkpoint and exposes batched jitted prediction.
 
-    Accepts our flat-npz checkpoints (`models/params.py`), a stock TF
-    SavedModel directory (read WITHOUT TensorFlow by
-    `models/savedmodel.py` — the reference's canonical serialization,
-    `/root/reference/basic_pitch/inference.py:78-94`), or an
-    already-constructed parameter pytree. The jitted forward is compiled per
-    power-of-two batch bucket, so arbitrary window counts reuse a handful of
-    executables.
-
-    The reference's other serializations get explicit errors: CoreML /
-    TFLite / ONNX are engine-specific formats whose runtimes this framework
-    intentionally replaces with XLA (single-engine design, PARITY.md).
+    Accepts ALL FOUR of the reference's serializations — TF SavedModel
+    directory, `.onnx`, `.tflite`, `.mlpackage`/`.mlmodel` — plus our
+    flat-npz checkpoints and already-constructed parameter pytrees. Unlike
+    the reference's `Model` (`/root/reference/basic_pitch/inference.py:78-154`),
+    which trial-loads each format with its own native runtime (TF, CoreML,
+    tflite-runtime, onnxruntime), every format here is parsed by this
+    repo's own readers (`models/{savedmodel,onnx_import,tflite_import,
+    coreml_import}.py`) with zero engine dependencies, and the weights
+    always execute on the one XLA compute path. The jitted forward is
+    compiled per power-of-two batch bucket, so arbitrary window counts
+    reuse a handful of executables.
     """
 
     def __init__(
@@ -84,21 +84,24 @@ class Model:
 
     @staticmethod
     def _load_checkpoint(path: PathLike) -> Dict:
-        from basic_pitch_tpu.models import savedmodel
+        """Format-sniffing loader over the four reference serializations.
+
+        Mirrors the reference's runtime-selection chain
+        (`/root/reference/basic_pitch/inference.py:78-154`) but with
+        first-party parsers instead of per-format native engines.
+        """
+        from basic_pitch_tpu.models import coreml_import, onnx_import, savedmodel, tflite_import
 
         p = pathlib.Path(path)
+        suffix = p.suffix.lower()
         if savedmodel.looks_like_savedmodel(p):
             return savedmodel.load_nmp_savedmodel(p)
-        suffix = p.suffix.lower()
-        if suffix in (".mlpackage", ".mlmodel", ".tflite", ".onnx") or (
-            p.is_dir() and p.name.endswith(".mlpackage")
-        ):
-            raise ValueError(
-                f"🚨 {path} is a {suffix or '.mlpackage'} serialization. This "
-                "framework runs one engine (XLA); load the TF SavedModel "
-                "directory or a flat-npz checkpoint instead — all four "
-                "reference serializations hold the same weights."
-            )
+        if suffix in (".mlpackage", ".mlmodel") or coreml_import.looks_like_mlpackage(p):
+            return coreml_import.load_nmp_coreml(p)
+        if suffix == ".tflite" or tflite_import.looks_like_tflite(p):
+            return tflite_import.load_nmp_tflite(p)
+        if suffix == ".onnx" or onnx_import.looks_like_onnx(p):
+            return onnx_import.load_nmp_onnx(p)
         return params_io.load_params(p)
 
     def predict(self, audio_windows: np.ndarray) -> Dict[str, np.ndarray]:

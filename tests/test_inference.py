@@ -177,6 +177,10 @@ def test_filename_suffix_api():
     assert set(bp.FilenameSuffix.__members__) == {"tf", "coreml", "tflite", "onnx"}
     path = bp.build_icassp_2022_model_path(bp.FilenameSuffix.tf)
     assert pathlib.Path(path).exists()
+    # the other suffixes resolve to a reference saved_models checkout when one
+    # is locatable, else raise a pointer at Model()'s own format readers
     for suffix in (bp.FilenameSuffix.coreml, bp.FilenameSuffix.tflite, bp.FilenameSuffix.onnx):
-        with _pytest.raises(ValueError, match="XLA"):
-            bp.build_icassp_2022_model_path(suffix)
+        try:
+            assert pathlib.Path(bp.build_icassp_2022_model_path(suffix)).exists()
+        except FileNotFoundError as err:
+            assert "Model()" in str(err)

@@ -55,13 +55,20 @@ def test_checkpoint_tensor_reader_sees_optimizer_state():
     assert any("OPTIMIZER_SLOT" in k for k in tensors)
 
 
-def test_engine_specific_formats_get_clear_errors(tmp_path):
+def test_corrupt_engine_formats_get_clear_per_format_errors(tmp_path):
     from basic_pitch_tpu import inference
 
-    for name in ("nmp.tflite", "nmp.onnx"):
+    for name, match in (
+        ("nmp.tflite", "TFL3 magic"),
+        ("nmp.onnx", "GraphProto|ModelProto|Conv"),
+        ("nmp.mlpackage", "model.mlmodel"),
+    ):
         p = tmp_path / name
-        p.write_bytes(b"\x00" * 16)
-        with pytest.raises(ValueError, match="one engine"):
+        if name.endswith(".mlpackage"):
+            p.mkdir()
+        else:
+            p.write_bytes(b"\x00" * 16)
+        with pytest.raises(ValueError, match=match):
             inference.Model(p)
 
 
