@@ -9,6 +9,7 @@
 // Build: g++ -O3 -march=native -shared -fPIC -o libbp_native.so bp_native.cpp
 
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <cmath>
 
@@ -156,6 +157,89 @@ uint32_t crc32c(const uint8_t* data, int64_t n) {
     }
     for (; i < n; ++i) crc = (crc >> 8) ^ crc_table[0][(crc ^ data[i]) & 0xFF];
     return crc ^ 0xFFFFFFFFu;
+}
+
+// --- lossless PCM16 residual packer (device-side decompression transport) ---
+//
+// Splits int16 PCM into 256-sample blocks: the first two samples go to
+// `head2` verbatim; the remaining 254 are 2nd-order residuals
+// r[i] = x[i] - 2x[i-1] + x[i-2], packed at the smallest per-block bit
+// width drawn from `kset`. Blocks are grouped by width and each group's
+// blocks are laid out consecutively in `kset` order, every block starting
+// 32-bit aligned ((254*k+31)/32 words per block). `idx` records, stream
+// row by stream row, which block each row encodes; `counts[j]` is the
+// number of blocks in kset[j]'s stream. The matching consumer is the
+// XLA unpack program in basic_pitch_tpu/ops/pcmcodec.py (and its numpy
+// reference in the same file). Returns total words written, or -1 when
+// n is not a multiple of 256 / kset cannot represent a residual / the
+// word buffer is too small.
+int64_t pack_pcm16_residual(const int16_t* x, int64_t n, const int32_t* kset,
+                            int32_t n_k, uint32_t* words, int64_t words_cap,
+                            int32_t* idx, int16_t* head2, int64_t* counts) {
+    const int64_t kBlock = 256, kPay = 254;
+    if (n % kBlock != 0) return -1;
+    const int64_t nb = n / kBlock;
+
+    // pass 1: class per block (index into kset) from the residual range
+    unsigned char* cls = (unsigned char*)malloc((size_t)nb);
+    if (!cls) return -1;
+    for (int32_t j = 0; j < n_k; ++j) counts[j] = 0;
+    for (int64_t b = 0; b < nb; ++b) {
+        const int16_t* blk = x + b * kBlock;
+        int32_t maxabs = 0;
+        for (int64_t i = 2; i < kBlock; ++i) {
+            int32_t r = (int32_t)blk[i] - 2 * (int32_t)blk[i - 1] + (int32_t)blk[i - 2];
+            int32_t a = r < 0 ? -r : r;
+            if (a > maxabs) maxabs = a;
+        }
+        int32_t need = 2;  // signed width covering maxabs: maxabs <= 2^(k-1)-1
+        while (need < 32 && maxabs > (1 << (need - 1)) - 1) ++need;
+        int32_t pick = -1;
+        for (int32_t j = 0; j < n_k; ++j)
+            if (kset[j] >= need && (pick < 0 || kset[j] < kset[pick])) pick = j;
+        if (pick < 0) { free(cls); return -1; }
+        cls[b] = (unsigned char)pick;
+        counts[pick]++;
+        head2[2 * b] = blk[0];
+        head2[2 * b + 1] = blk[1];
+    }
+
+    // stream layout: kset order, 32-bit-aligned rows
+    int64_t word_off[64], row_off[64], total = 0, rows = 0;
+    for (int32_t j = 0; j < n_k; ++j) {
+        word_off[j] = total;
+        row_off[j] = rows;
+        const int64_t wpb = (kPay * kset[j] + 31) / 32;
+        total += counts[j] * wpb;
+        rows += counts[j];
+    }
+    if (total > words_cap) { free(cls); return -1; }
+    memset(words, 0, (size_t)total * 4);
+
+    // pass 2: pack each block into its stream slot
+    int64_t cursor[64];
+    for (int32_t j = 0; j < n_k; ++j) cursor[j] = 0;
+    for (int64_t b = 0; b < nb; ++b) {
+        const int32_t j = cls[b];
+        const int32_t k = kset[j];
+        const int64_t wpb = (kPay * k + 31) / 32;
+        uint32_t* dst = words + word_off[j] + cursor[j] * wpb;
+        idx[row_off[j] + cursor[j]] = (int32_t)b;
+        cursor[j]++;
+        const int16_t* blk = x + b * kBlock;
+        const uint32_t mask = (k == 32) ? 0xFFFFFFFFu : ((1u << k) - 1);
+        int64_t pos = 0;
+        for (int64_t i = 2; i < kBlock; ++i, pos += k) {
+            int32_t r = (int32_t)blk[i] - 2 * (int32_t)blk[i - 1] + (int32_t)blk[i - 2];
+            uint32_t v = (uint32_t)r & mask;
+            const int64_t w = pos >> 5;
+            const int32_t sh = (int32_t)(pos & 31);
+            dst[w] |= v << sh;
+            if (sh + k > 32) dst[w + 1] |= v >> (32 - sh);
+        }
+    }
+    free(cls);
+    return total;
 }
 
 }  // extern "C"

@@ -1,0 +1,297 @@
+"""Lossless PCM16 transport codec, decoded ON DEVICE.
+
+The tunneled host->device link is the transcription pipeline's bottleneck
+(docs/DESIGN.md §2: ~35 MB/s, so a 600 s recording's 26.5 MB of int16 PCM
+costs ~0.75 s — more than the model forward and decode combined). This
+module cuts those bytes losslessly: the host packs second-order residuals
+(r[i] = x[i] - 2x[i-1] + x[i-2], i.e. Δ²x) at per-block adaptive bit
+widths, and a set of small XLA programs reconstructs the exact int16
+samples in HBM. Measured ratios: ~1.9x on polyphonic synthetic piano,
+~1.4x on real vocals — a direct multiplier on link-bound throughput.
+
+Wire format (produced by `native/bp_native.cpp:pack_pcm16_residual` or the
+numpy reference `pack_numpy` here):
+
+- 256-sample blocks; each block's first two samples verbatim in `head2`
+  (int16, the integration constants), remaining 254 as k-bit two's-
+  complement residuals, k = the smallest width in `KSET` that covers the
+  block's residual range (k=18 always suffices for int16 input).
+- Blocks are grouped by k; each group's rows are laid out consecutively
+  in one u32 buffer (KSET order, every row 32-bit aligned), so the device
+  can unpack each group DENSELY — static column slices and shifts, no
+  per-element gather (a gathered variant measured 6x slower on TPU).
+- `idx` maps stream rows back to block positions; the unpack programs
+  scatter each group's rows into a donated (nb+1, 254) buffer (row `nb`
+  absorbs padding rows), and a final program integrates twice
+  (two int32 cumsums — exact) and rescales to float32.
+
+Shape discipline (jit cache): row counts per group vary with content, so
+each group is padded to a power-of-two row bucket. Padding rows cost no
+upload bytes — the device program over-reads neighbouring stream data via
+`dynamic_slice` and the garbage rows scatter to the dummy row. Executables
+are therefore keyed only by (k, row bucket) and (nb, n_out): a bounded,
+content-independent set.
+
+Everything is integer arithmetic; round trips are bit-exact
+(tests/test_pcmcodec.py fuzzes against the raw int16 path).
+"""
+
+from __future__ import annotations
+
+import ctypes
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+BLOCK = 256
+PAY = BLOCK - 2
+# Descending = stream layout order. 18 bits always covers Δ² of int16;
+# the finer widths follow the bit-width histogram of real music.
+KSET: Tuple[int, ...] = (18, 16, 14, 13, 12, 10, 8, 6, 4)
+_MIN_BUCKET = 8
+
+
+def words_per_block(k: int) -> int:
+    return (PAY * k + 31) // 32
+
+
+@dataclass
+class PackedPCM:
+    """One packed piece: exact-size u32 payload + per-group placement."""
+
+    words: np.ndarray  # (total_words,) uint32, all groups back to back
+    groups: List[Tuple[int, int, int, np.ndarray]]  # (k, word_off, n_rows, idx)
+    head2: np.ndarray  # (nb, 2) int16
+    n_samples: int
+    nb: int
+
+    @property
+    def packed_bytes(self) -> int:
+        return self.words.nbytes + self.head2.nbytes + sum(
+            g[3].nbytes for g in self.groups
+        )
+
+
+# --------------------------------------------------------------------------
+# host-side packing
+# --------------------------------------------------------------------------
+
+_kset_arr = np.asarray(KSET, np.int32)
+
+
+def _native_pack(pcm: np.ndarray):
+    from basic_pitch_tpu import native
+
+    lib = native.load()
+    if lib is None or not hasattr(lib, "pack_pcm16_residual"):
+        return None
+    nb = len(pcm) // BLOCK
+    cap = nb * words_per_block(KSET[0]) + 4
+    words = np.empty(cap, np.uint32)
+    idx = np.empty(nb, np.int32)
+    head2 = np.empty((nb, 2), np.int16)
+    counts = np.empty(len(KSET), np.int64)
+    total = lib.pack_pcm16_residual(
+        native._as_ptr(pcm),
+        ctypes.c_int64(len(pcm)),
+        native._as_ptr(_kset_arr),
+        ctypes.c_int32(len(KSET)),
+        native._as_ptr(words),
+        ctypes.c_int64(cap),
+        native._as_ptr(idx),
+        native._as_ptr(head2),
+        native._as_ptr(counts),
+    )
+    if total < 0:
+        return None
+    return words, int(total), counts, idx, head2
+
+
+def pack_numpy(pcm: np.ndarray):
+    """Pure-numpy reference packer (same wire format as the C++ one)."""
+    nb = len(pcm) // BLOCK
+    x = pcm.astype(np.int32).reshape(nb, BLOCK)
+    r = x[:, 2:] - 2 * x[:, 1:-1] + x[:, :-2]
+    maxabs = np.abs(r).max(axis=1)
+    need = np.maximum(2, np.ceil(np.log2(np.maximum(maxabs, 1) + 1)).astype(np.int64) + 1)
+    ks = np.sort(_kset_arr)
+    cls_sorted = ks[np.searchsorted(ks, need)]  # smallest KSET width >= need
+    order_of = {k: j for j, k in enumerate(KSET)}
+    cls = np.asarray([order_of[int(c)] for c in cls_sorted], np.int64)
+
+    counts = np.bincount(cls, minlength=len(KSET)).astype(np.int64)
+    total = int(sum(counts[j] * words_per_block(KSET[j]) for j in range(len(KSET))))
+    words = np.zeros(total + 4, np.uint32)
+    idx = np.empty(nb, np.int32)
+    head2 = np.ascontiguousarray(x[:, :2].astype(np.int16))
+
+    word_off = row_off = 0
+    words64 = np.zeros(total + 4, np.uint64)
+    for j, k in enumerate(KSET):
+        rows = np.nonzero(cls == j)[0]
+        if len(rows) == 0:
+            continue
+        wpb = words_per_block(k)
+        idx[row_off : row_off + len(rows)] = rows
+        vals = (r[rows].astype(np.int64) & ((1 << k) - 1)).astype(np.uint64)
+        pos = np.arange(PAY, dtype=np.int64) * k
+        w = (pos >> 5) + word_off + np.arange(len(rows))[:, None] * wpb
+        sh = (pos & 31).astype(np.uint64)
+        v64 = vals << sh[None, :]
+        np.add.at(words64, w, v64 & 0xFFFFFFFF)
+        np.add.at(words64, w + 1, v64 >> np.uint64(32))
+        word_off += len(rows) * wpb
+        row_off += len(rows)
+    words[:] = (words64 & 0xFFFFFFFF).astype(np.uint32)
+    return words, total, counts, idx, head2
+
+
+def _bucket(n: int) -> int:
+    b = _MIN_BUCKET
+    while b < n:
+        b *= 2
+    return b
+
+
+def pack(pcm: np.ndarray) -> PackedPCM:
+    """int16 PCM -> PackedPCM (native packer when available, numpy otherwise).
+
+    Input length is padded up to a whole number of blocks with zeros.
+    """
+    assert pcm.dtype == np.int16 and pcm.ndim == 1
+    n = len(pcm)
+    nb = -(-n // BLOCK)
+    if nb * BLOCK != n:
+        padded = np.zeros(nb * BLOCK, np.int16)
+        padded[:n] = pcm
+        pcm = padded
+    pcm = np.ascontiguousarray(pcm)
+
+    packed = _native_pack(pcm)
+    if packed is None:
+        packed = pack_numpy(pcm)
+    words, total, counts, idx, head2 = packed
+
+    groups: List[Tuple[int, int, int, np.ndarray]] = []
+    word_off = row_off = 0
+    needed = total
+    for j, k in enumerate(KSET):
+        rows = int(counts[j])
+        if rows:
+            bucket = _bucket(rows)
+            gidx = np.full(bucket, nb, np.int32)
+            gidx[:rows] = idx[row_off : row_off + rows]
+            groups.append((k, word_off, rows, gidx))
+            # dynamic_slice must not clamp: the buffer has to cover the
+            # bucket-padded over-read of every group
+            needed = max(needed, word_off + bucket * words_per_block(k))
+        word_off += rows * words_per_block(k)
+        row_off += rows
+    if needed > len(words):
+        words = np.concatenate([words, np.zeros(needed - len(words), np.uint32)])
+    return PackedPCM(words[:needed], groups, head2, n, nb)
+
+
+# --------------------------------------------------------------------------
+# device-side unpacking
+# --------------------------------------------------------------------------
+
+_jit_cache: Dict = {}
+
+
+def _init_fn(nb: int):
+    key = ("init", nb)
+    if key not in _jit_cache:
+        _jit_cache[key] = jax.jit(lambda: jnp.zeros((nb + 1, PAY), jnp.int32))
+    return _jit_cache[key]
+
+
+def _unpack_scatter_fn(k: int, rows_bucket: int):
+    """(buf, words, word_off, idx) -> buf with this group's residual rows set.
+
+    Dense unpack: every sample's word index / shift is static for a fixed k,
+    so the stream decodes with column slices + shifts; `buf` is donated so
+    the scatter updates in place across the group chain.
+    """
+    key = ("unpack", k, rows_bucket)
+    if key in _jit_cache:
+        return _jit_cache[key]
+
+    wpb = words_per_block(k)
+    pos = np.arange(PAY) * k
+    cols0 = (pos >> 5).astype(np.int32)
+    cols1 = np.minimum(cols0 + 1, wpb - 1)
+    shifts = jnp.asarray((pos & 31).astype(np.uint32))
+    mask = jnp.uint32((1 << k) - 1)
+    sign = jnp.int32(1 << (k - 1))
+
+    def run(buf, words, word_off, idx):
+        stream = lax.dynamic_slice(words, (word_off,), (rows_bucket * wpb,))
+        stream = stream.reshape(rows_bucket, wpb)
+        w0 = stream[:, cols0]
+        w1 = stream[:, cols1]
+        hi = jnp.where(shifts == 0, jnp.uint32(0), w1 << (jnp.uint32(32) - shifts))
+        v = (((w0 >> shifts) | hi) & mask).astype(jnp.int32)
+        r = v - ((v & sign) << 1)  # two's-complement sign extension
+        return buf.at[idx].set(r)
+
+    fn = jax.jit(run, donate_argnums=(0,))
+    _jit_cache[key] = fn
+    return fn
+
+
+def _finish_fn(nb: int, n_out: int):
+    """(buf, head2) -> float32 samples: double integration + rescale."""
+    key = ("finish", nb, n_out)
+    if key in _jit_cache:
+        return _jit_cache[key]
+
+    def run(buf, head2):
+        r = buf[:nb]
+        h = head2.astype(jnp.int32)
+        x0, x1 = h[:, 0], h[:, 1]
+        # r = Δ²x  =>  Δx = (x1-x0) + cumsum(r),  x = x1 + cumsum(Δx)
+        dx = (x1 - x0)[:, None] + jnp.cumsum(r, axis=1)
+        xs = x1[:, None] + jnp.cumsum(dx, axis=1)
+        x = jnp.concatenate([h, xs], axis=1)
+        return x.reshape(-1)[:n_out].astype(jnp.float32) * (1.0 / 32768.0)
+
+    # no donation: the f32 output cannot alias the int32 residual buffer
+    fn = jax.jit(run)
+    _jit_cache[key] = fn
+    return fn
+
+
+def decode_to_device(packed: PackedPCM, n_out: Optional[int] = None) -> jax.Array:
+    """Upload a PackedPCM and reconstruct float32 samples in HBM.
+
+    Returns a device array equal to `pcm.astype(float32)/32768` for the
+    packed samples (bit-exact; verified in tests). All transfers are
+    started async; nothing here blocks.
+    """
+    n_out = packed.n_samples if n_out is None else n_out
+    words = jax.device_put(packed.words)
+    head2 = jax.device_put(packed.head2)
+    buf = _init_fn(packed.nb)()
+    for k, word_off, n_rows, idx in packed.groups:
+        fn = _unpack_scatter_fn(k, len(idx))
+        buf = fn(buf, words, jnp.int32(word_off), jax.device_put(idx))
+    return _finish_fn(packed.nb, n_out)(buf, head2)
+
+
+def available() -> bool:
+    """True when the fast native packer is present (the numpy packer is too
+    slow for the throughput path; callers should transport raw int16 then)."""
+    from basic_pitch_tpu import native
+
+    lib = native.load()
+    return lib is not None and hasattr(lib, "pack_pcm16_residual")
+
+
+def encode_decode(pcm: np.ndarray) -> jax.Array:
+    """pack + decode_to_device in one call (the pipeline's entry point)."""
+    return decode_to_device(pack(pcm))

@@ -34,6 +34,7 @@ import numpy as np
 from basic_pitch_tpu import constants
 from basic_pitch_tpu.models import nmp
 from basic_pitch_tpu.models import params as params_io
+from basic_pitch_tpu.ops import pcmcodec
 from basic_pitch_tpu.ops import resample as resample_ops
 
 HOP = constants.WINDOW_HOP_SAMPLES  # 36164
@@ -404,11 +405,22 @@ class StreamingTranscriber:
                 mask[hi:] = 0
             freq_mask = jnp.asarray(mask)
 
-        # chunk pieces: upload c+1 while c computes (all dispatches async)
+        # chunk pieces: upload c+1 while c computes (all dispatches async).
+        # int16 pieces ship through the lossless residual codec when the
+        # native packer is present — ~1.4-1.9x fewer bytes over the
+        # link-bound tunnel, decoded to the exact samples in HBM
+        # (ops/pcmcodec.py; disabled on a mesh, where pieces replicate).
         piece_fn = self._piece_fn(is_44k)
+        use_codec = (
+            audio.dtype == np.int16 and self.mesh is None and pcmcodec.available()
+        )
         outs = []
         for piece in self._pieces(audio, is_44k, n_chunks):
-            outs.append(piece_fn(self.params, jax.device_put(piece)))
+            if use_codec:
+                dev_piece = pcmcodec.decode_to_device(pcmcodec.pack(piece), len(piece))
+            else:
+                dev_piece = jax.device_put(piece)
+            outs.append(piece_fn(self.params, dev_piece))
         # the decode executable is keyed by the pow2 chunk bucket, so file
         # lengths share a handful of programs; the chunk list is padded to
         # the bucket with a cached zero chunk (same device buffers every
