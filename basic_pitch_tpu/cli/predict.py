@@ -29,9 +29,18 @@ def build_parser() -> argparse.ArgumentParser:
         "--model-serialization",
         type=str,
         choices=["tf", "coreml", "tflite", "onnx"],
-        help="If used, --model-path is ignored and the bundled checkpoint for "
-        "this serialization is used (only 'tf' is loadable — this framework "
-        "runs one engine, XLA; the weights are identical across formats)",
+        help="If used, --model-path is ignored and the checkpoint for this "
+        "serialization is resolved instead ('tf' = the bundled npz weights; "
+        "coreml/tflite/onnx resolve to a reference saved_models checkout "
+        "when locatable). Every format loads through this framework's own "
+        "readers — no TF/CoreML/TFLite/ONNX runtime needed",
+    )
+    parser.add_argument(
+        "--streaming",
+        action="store_true",
+        help="batched fast path: pack all input files' windows into device "
+        "batches through the StreamingTranscriber (identical note events; "
+        "~an order of magnitude faster on many/long files)",
     )
     parser.add_argument("--save-midi", action="store_true", default=True, help=argparse.SUPPRESS)
     parser.add_argument("--no-save-midi", dest="save_midi", action="store_false", help="do not save midi")
@@ -82,25 +91,47 @@ def main() -> None:
     # match the reference's error UX (`predict.py:167-194`): IOError prints
     # its message; anything else prints a banner + traceback, never a bare crash
     try:
-        inference.predict_and_save(
-            args.audio_paths,
-            args.output_dir,
-            args.save_midi,
-            args.sonify_midi,
-            args.save_model_outputs,
-            args.save_note_events,
-            model_path,
-            args.onset_threshold,
-            args.frame_threshold,
-            args.minimum_note_length,
-            args.minimum_frequency,
-            args.maximum_frequency,
-            args.multiple_pitch_bends,
-            args.melodia_trick,
-            args.debug_file,
-            args.sonification_samplerate,
-            args.midi_tempo,
-        )
+        if args.streaming:
+            if args.debug_file:
+                raise ValueError("--debug-file is only supported without --streaming")
+            inference.predict_and_save_streaming(
+                args.audio_paths,
+                args.output_dir,
+                args.save_midi,
+                args.sonify_midi,
+                args.save_model_outputs,
+                args.save_note_events,
+                model_path,
+                args.onset_threshold,
+                args.frame_threshold,
+                args.minimum_note_length,
+                args.minimum_frequency,
+                args.maximum_frequency,
+                args.multiple_pitch_bends,
+                args.melodia_trick,
+                args.sonification_samplerate,
+                args.midi_tempo,
+            )
+        else:
+            inference.predict_and_save(
+                args.audio_paths,
+                args.output_dir,
+                args.save_midi,
+                args.sonify_midi,
+                args.save_model_outputs,
+                args.save_note_events,
+                model_path,
+                args.onset_threshold,
+                args.frame_threshold,
+                args.minimum_note_length,
+                args.minimum_frequency,
+                args.maximum_frequency,
+                args.multiple_pitch_bends,
+                args.melodia_trick,
+                args.debug_file,
+                args.sonification_samplerate,
+                args.midi_tempo,
+            )
         print("\n✨ Done ✨\n")
     except IOError as ioe:
         print(ioe)

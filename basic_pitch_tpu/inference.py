@@ -397,38 +397,154 @@ def predict_and_save(
             midi_tempo,
         )
 
+        _write_artifacts(
+            audio_path,
+            output_directory,
+            model_output,
+            midi_data,
+            note_events,
+            save_midi,
+            sonify_midi,
+            save_model_outputs,
+            save_notes,
+            sonification_samplerate,
+        )
+
+
+def _write_artifacts(
+    audio_path: PathLike,
+    output_directory: PathLike,
+    model_output,
+    midi_data,
+    note_events,
+    save_midi: bool,
+    sonify_midi: bool,
+    save_model_outputs: bool,
+    save_notes: bool,
+    sonification_samplerate: int,
+) -> None:
+    """Write the selected artifact set for one transcribed file
+    (`/root/reference/basic_pitch/inference.py:565-602` semantics)."""
+    if save_model_outputs:
+        output_path = build_output_path(audio_path, output_directory, OutputExtensions.MODEL_OUTPUT_NPZ)
+        try:
+            np.savez(output_path, basic_pitch_model_output=model_output)
+            file_saved_confirmation(OutputExtensions.MODEL_OUTPUT_NPZ.name, output_path)
+        except Exception:
+            failed_to_save(OutputExtensions.MODEL_OUTPUT_NPZ.name, output_path)
+            raise
+
+    if save_midi:
+        output_path = build_output_path(audio_path, output_directory, OutputExtensions.MIDI)
+        try:
+            midi_data.write(output_path)
+            file_saved_confirmation(OutputExtensions.MIDI.name, output_path)
+        except Exception:
+            failed_to_save(OutputExtensions.MIDI.name, output_path)
+            raise
+
+    if sonify_midi:
+        output_path = build_output_path(audio_path, output_directory, OutputExtensions.MIDI_SONIFICATION)
+        try:
+            decode_export.sonify_midi(midi_data, output_path, sr=sonification_samplerate)
+            file_saved_confirmation(OutputExtensions.MIDI_SONIFICATION.name, output_path)
+        except Exception:
+            failed_to_save(OutputExtensions.MIDI_SONIFICATION.name, output_path)
+            raise
+
+    if save_notes:
+        output_path = build_output_path(audio_path, output_directory, OutputExtensions.NOTE_EVENTS)
+        try:
+            save_note_events(note_events, output_path)
+            file_saved_confirmation(OutputExtensions.NOTE_EVENTS.name, output_path)
+        except Exception:
+            failed_to_save(OutputExtensions.NOTE_EVENTS.name, output_path)
+            raise
+
+
+def predict_and_save_streaming(
+    audio_path_list: Sequence[PathLike],
+    output_directory: PathLike,
+    save_midi: bool,
+    sonify_midi: bool,
+    save_model_outputs: bool,
+    save_notes: bool,
+    model_or_model_path: Union[Model, PathLike] = params_io.ICASSP_2022_WEIGHTS_PATH,
+    onset_threshold: float = DEFAULT_ONSET_THRESHOLD,
+    frame_threshold: float = DEFAULT_FRAME_THRESHOLD,
+    minimum_note_length: float = DEFAULT_MINIMUM_NOTE_LENGTH_MS,
+    minimum_frequency: Optional[float] = None,
+    maximum_frequency: Optional[float] = None,
+    multiple_pitch_bends: bool = False,
+    melodia_trick: bool = True,
+    sonification_samplerate: int = DEFAULT_SONIFICATION_SAMPLERATE,
+    midi_tempo: float = DEFAULT_MIDI_TEMPO,
+    windows_per_chunk: int = 128,
+) -> None:
+    """Batched fast path: all files through one `StreamingTranscriber`.
+
+    Same artifacts as `predict_and_save`, but every recording's uploads,
+    model chunks, and on-device decodes are enqueued before anything is
+    collected (BASELINE config 2: windows of N files packed into device
+    batches), and PCM16 WAVs ride the lossless residual codec. Note events
+    are identical to the windowed path's (`tests/test_pipeline.py`);
+    posteriorgram NPZs are computed per file only when requested.
+    """
+    from basic_pitch_tpu import pipeline
+
+    model = (
+        model_or_model_path
+        if isinstance(model_or_model_path, Model)
+        else Model(model_or_model_path)
+    )
+    transcriber = pipeline.StreamingTranscriber(
+        model.params, config=model.config, windows_per_chunk=windows_per_chunk
+    )
+
+    recordings = []
+    for audio_path in audio_path_list:
+        pcm = None
+        if audio_io._is_wav(audio_path):
+            pcm = audio_io.read_wav_pcm16_mono(audio_path)
+        if pcm is None:  # not losslessly int16-transportable: float path
+            samples, sr = audio_io.load_audio(audio_path, constants.AUDIO_SAMPLE_RATE)
+            recordings.append((samples, sr))
+        else:
+            recordings.append(pcm)
+
+    min_note_len = int(
+        np.round(minimum_note_length / 1000 * (constants.AUDIO_SAMPLE_RATE / constants.FFT_HOP))
+    )
+    events_per_file = transcriber.transcribe_batch(
+        recordings,
+        onset_threshold=onset_threshold,
+        frame_threshold=frame_threshold,
+        min_note_length=min_note_len,
+        min_freq=minimum_frequency,
+        max_freq=maximum_frequency,
+        melodia_trick=melodia_trick,
+        include_pitch_bends=True,
+    )
+
+    for audio_path, (samples, sr), note_events in zip(
+        audio_path_list, recordings, events_per_file
+    ):
+        print(f"\nPredicting MIDI for {audio_path}...")
+        midi_data = decode_export.note_events_to_midi(
+            note_events, multiple_pitch_bends, midi_tempo
+        )
+        model_output = None
         if save_model_outputs:
-            output_path = build_output_path(audio_path, output_directory, OutputExtensions.MODEL_OUTPUT_NPZ)
-            try:
-                np.savez(output_path, basic_pitch_model_output=model_output)
-                file_saved_confirmation(OutputExtensions.MODEL_OUTPUT_NPZ.name, output_path)
-            except Exception:
-                failed_to_save(OutputExtensions.MODEL_OUTPUT_NPZ.name, output_path)
-                raise
-
-        if save_midi:
-            output_path = build_output_path(audio_path, output_directory, OutputExtensions.MIDI)
-            try:
-                midi_data.write(output_path)
-                file_saved_confirmation(OutputExtensions.MIDI.name, output_path)
-            except Exception:
-                failed_to_save(OutputExtensions.MIDI.name, output_path)
-                raise
-
-        if sonify_midi:
-            output_path = build_output_path(audio_path, output_directory, OutputExtensions.MIDI_SONIFICATION)
-            try:
-                decode_export.sonify_midi(midi_data, output_path, sr=sonification_samplerate)
-                file_saved_confirmation(OutputExtensions.MIDI_SONIFICATION.name, output_path)
-            except Exception:
-                failed_to_save(OutputExtensions.MIDI_SONIFICATION.name, output_path)
-                raise
-
-        if save_notes:
-            output_path = build_output_path(audio_path, output_directory, OutputExtensions.NOTE_EVENTS)
-            try:
-                save_note_events(note_events, output_path)
-                file_saved_confirmation(OutputExtensions.NOTE_EVENTS.name, output_path)
-            except Exception:
-                failed_to_save(OutputExtensions.NOTE_EVENTS.name, output_path)
-                raise
+            model_output = transcriber.posteriorgrams(samples, sr)
+        _write_artifacts(
+            audio_path,
+            output_directory,
+            model_output,
+            midi_data,
+            note_events,
+            save_midi,
+            sonify_midi,
+            save_model_outputs,
+            save_notes,
+            sonification_samplerate,
+        )

@@ -156,6 +156,29 @@ def read_wav_mono(path: PathLike) -> Tuple[np.ndarray, int]:
     return to_mono(samples), sample_rate
 
 
+def read_wav_pcm16_mono(path: PathLike, rates: Tuple[int, ...] = (22050, 44100)):
+    """Raw int16 mono samples when the file is PCM16 mono at a given rate.
+
+    Returns (int16 samples, sample_rate), or None when the file is not
+    losslessly int16-transportable as-is (non-PCM16, multi-channel, or an
+    off-list rate) — callers fall back to the float decode path. The int16
+    payload dequantized as x/32768 is bit-identical to `read_wav`'s float
+    output, so shipping it through the device pipeline's PCM codec
+    (`ops/pcmcodec.py`) changes no result.
+    """
+    with open(path, "rb") as fh:
+        raw = fh.read()
+    header = _parse_wav_header(raw)
+    if header is None:
+        return None
+    audio_format, n_channels, sample_rate, bits, payload = header
+    if audio_format != WAVE_FORMAT_PCM or bits != 16 or n_channels != 1:
+        return None
+    if sample_rate not in rates:
+        return None
+    return raw_to_np(payload, np.int16), sample_rate
+
+
 def _parse_wav_header(raw: bytes):
     """(format, channels, rate, bits, payload) or None when not plain WAV."""
     if len(raw) < 12 or raw[:4] != _RIFF or raw[8:12] != _WAVE:

@@ -49,6 +49,40 @@ def test_predict_cli_end_to_end(tmp_path, monkeypatch):
     assert (tmp_path / "vocadito_10_basic_pitch.csv").exists()
 
 
+def test_predict_cli_streaming_matches_windowed_path(tmp_path, monkeypatch):
+    """--streaming must produce the same note events (CSV) as the default
+    path, via the batched StreamingTranscriber (BASELINE config 2)."""
+    if not VOCADITO.exists():
+        pytest.skip("test clip unavailable")
+    from basic_pitch_tpu.cli import predict as cli_predict
+
+    out_default, out_streaming = tmp_path / "default", tmp_path / "streaming"
+    out_default.mkdir(), out_streaming.mkdir()
+    monkeypatch.setattr(
+        sys, "argv",
+        ["basic-pitch", str(out_default), str(VOCADITO), "--save-note-events"],
+    )
+    cli_predict.main()
+    monkeypatch.setattr(
+        sys, "argv",
+        ["basic-pitch", str(out_streaming), str(VOCADITO), "--save-note-events",
+         "--streaming", "--save-model-outputs", "--sonify-midi"],
+    )
+    cli_predict.main()
+
+    csv_default = (out_default / "vocadito_10_basic_pitch.csv").read_text()
+    csv_streaming = (out_streaming / "vocadito_10_basic_pitch.csv").read_text()
+    assert csv_streaming == csv_default
+    assert (out_streaming / "vocadito_10_basic_pitch.mid").exists()
+    assert (out_streaming / "vocadito_10_basic_pitch.npz").exists()
+    assert (out_streaming / "vocadito_10_basic_pitch.wav").exists()
+    # posteriorgrams from the streaming path match the windowed model's
+    post = np.load(out_streaming / "vocadito_10_basic_pitch.npz", allow_pickle=True)[
+        "basic_pitch_model_output"
+    ].item()
+    assert set(post) == {"note", "onset", "contour"}
+
+
 def test_train_parser_datasets_required(monkeypatch, capsys):
     from basic_pitch_tpu.cli.train import console_entry_point
 
