@@ -286,7 +286,13 @@ def decode(
     # Stable stream compaction via cumsum+scatter — a top_k over T*88
     # elements compiles and runs far worse at long-file scale.
     total = n_frames * F
-    k = min(max_notes, total)
+    # candidate capacity must scale with recording length, independent of the
+    # note-buffer size: real material carries ~20-25 onset candidates per
+    # audio second (~0.25/frame), so a fixed max_notes-sized list spuriously
+    # overflows (-> slow host fallback) past ~10 minutes. The onset loop
+    # iterates n_onsets times regardless of k, so headroom costs only a
+    # (k,) int32 buffer.
+    k = min(max(max_notes, n_frames), total)
     mask_desc = onset_mask.reshape(-1)[::-1]
     positions = jnp.cumsum(mask_desc.astype(jnp.int32)) - 1
     dest = jnp.where(mask_desc, jnp.minimum(positions, k), k)  # k = dropped
@@ -590,15 +596,27 @@ def notes_to_events_packed(
     pitches = np.asarray(decoded.pitches[:n]).tolist()
     amps = np.asarray(decoded.amplitudes[:n]).astype(np.float64).tolist()
     inline64 = bends_inline[:n].astype(np.int64)
+    # notes longer than the inline buffer pull their full bend column from
+    # the device matrix — batched into ONE device gather + transfer (an
+    # eager slice per note costs a full tunnel round trip each)
+    long_cols = {}
+    long_idx = [
+        i for i, (s, e) in enumerate(zip(starts, ends)) if e - s > BEND_INLINE_FRAMES
+    ]
+    if long_idx:
+        import jax
+
+        cols = np.unique(
+            [pitches[i] - host_decode.MIDI_PITCH_OFFSET for i in long_idx]
+        )
+        fetched = np.asarray(jax.device_get(bends_all_device[:, cols])).astype(np.int64)
+        long_cols = {int(c): fetched[:, j] for j, c in enumerate(cols)}
     events = []
     for i, (s, e, p, a) in enumerate(zip(starts, ends, pitches, amps)):
         length = e - s
         if length <= BEND_INLINE_FRAMES:
             bend = list(inline64[i, :length])
         else:
-            row = np.asarray(
-                bends_all_device[s:e, p - host_decode.MIDI_PITCH_OFFSET]
-            ).astype(np.int64)
-            bend = list(row)
+            bend = list(long_cols[p - host_decode.MIDI_PITCH_OFFSET][s:e])
         events.append((s, e, p, a, bend))
     return events

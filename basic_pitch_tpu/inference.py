@@ -70,6 +70,9 @@ class Model:
         model_or_path: Union[PathLike, Dict] = params_io.ICASSP_2022_WEIGHTS_PATH,
         config: nmp.ModelConfig = nmp.DEFAULT_CONFIG,
     ):
+        from basic_pitch_tpu.utils import runtime
+
+        runtime.enable_compilation_cache()
         if isinstance(model_or_path, (str, pathlib.Path)):
             self.params = self._load_checkpoint(model_or_path)
         elif isinstance(model_or_path, dict):

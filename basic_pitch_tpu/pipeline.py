@@ -79,6 +79,9 @@ class StreamingTranscriber:
         precision=jax.lax.Precision.HIGHEST,
         mesh: Optional[jax.sharding.Mesh] = None,
     ):
+        from basic_pitch_tpu.utils import runtime
+
+        runtime.enable_compilation_cache()
         if isinstance(model_or_params, dict):
             self.params = model_or_params
         else:
@@ -184,6 +187,10 @@ class StreamingTranscriber:
             # the model still emits nonzero activations -- silence them
             valid = (jnp.arange(note.shape[0])[:, None] < n_frames).astype(note.dtype)
             note, onset = note * valid, onset * valid
+            # melodia iterations scale with recording length (every residual
+            # above-threshold scrap costs one, kept or not — measured ~45/s
+            # on dense vocals), so the safety cap must grow with the frame
+            # count or long files spuriously overflow into the host fallback
             decoded = device_decode.decode(
                 note,
                 onset,
@@ -194,7 +201,7 @@ class StreamingTranscriber:
                 infer_onsets=infer_onsets,
                 melodia_trick=melodia_trick,
                 max_notes=max_notes,
-                max_melodia_iters=2 * max_notes,
+                max_melodia_iters=2 * max_notes + 2 * note.shape[0],
                 valid_frames=n_frames,
             )
             if include_bends:

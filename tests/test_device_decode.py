@@ -86,6 +86,36 @@ def test_dense_energy_melodia():
     )
 
 
+def test_melodia_iterations_scale_with_length_not_note_count():
+    """Regression: melodia pays one iteration per residual scrap, kept or
+    not — dense short-scrap material needs far more iterations than final
+    notes (measured ~45/audio-second on real vocals). The pipeline's cap is
+    2*max_notes + 2*T; with a cap tied to note count alone this material
+    spuriously overflowed into the (slow) host fallback."""
+    rng = np.random.RandomState(5)
+    n_frames, max_notes = 600, 16
+    frames = np.zeros((n_frames, 88), np.float64)
+    # ~300 isolated single-frame scraps: each costs one melodia iteration,
+    # none survives the min-length filter
+    for _ in range(300):
+        t, f = rng.randint(1, n_frames - 1), rng.randint(1, 87)
+        frames[t, f] = 0.5 + 0.4 * rng.rand()
+    # plus a handful of real notes
+    for i in range(5):
+        t0 = 30 + 100 * i
+        frames[t0 : t0 + 20, 40 + i] = 0.9
+    onsets = np.zeros_like(frames)
+    config = host.DecodeConfig(min_note_length=11)
+    host_events = _host_events(frames, onsets, config)
+    got = _device_events(
+        frames, onsets, config,
+        max_notes=max_notes,
+        max_iters=2 * max_notes + 2 * n_frames,  # the pipeline's formula
+    )
+    _assert_same(host_events, got)
+    assert len(host_events) >= 5
+
+
 def test_edges_and_short_notes():
     rng = np.random.RandomState(7)
     frames = np.zeros((50, 88))

@@ -70,6 +70,30 @@ def test_compresses_real_music():
     np.testing.assert_array_equal(out, pcm.astype(np.float32) / 32768.0)
 
 
+def test_pipeline_codec_path_matches_raw_44k(monkeypatch):
+    """44.1 kHz int16 input: codec-packed pieces must decode to the exact
+    samples the on-device decimator would have seen from raw transport."""
+    from basic_pitch_tpu import constants, pipeline
+
+    rng = np.random.RandomState(11)
+    sr = 2 * constants.AUDIO_SAMPLE_RATE
+    n = int(3.2 * sr)
+    t = np.arange(n) / sr
+    y = (0.5 * np.sin(2 * np.pi * 196.0 * t) * (t < 1.5)).astype(np.float32)
+    y += rng.randn(n).astype(np.float32) * 0.002
+    pcm = np.clip(np.round(y * 32768.0), -32768, 32767).astype(np.int16)
+
+    tr = pipeline.StreamingTranscriber(windows_per_chunk=8)
+    monkeypatch.setattr(pcmcodec, "available", lambda: False)
+    ev_raw = tr.transcribe(pcm, sr)
+    monkeypatch.undo()
+    if not pcmcodec.available():
+        pytest.skip("native packer unavailable")
+    ev_codec = tr.transcribe(pcm, sr)
+    assert ev_codec == ev_raw
+    assert len(ev_raw) >= 1
+
+
 def test_pipeline_codec_path_matches_raw_int16_path(monkeypatch):
     """transcribe() must yield identical events with the codec on and off."""
     from basic_pitch_tpu import constants, pipeline
