@@ -296,7 +296,11 @@ def decode(
     mask_desc = onset_mask.reshape(-1)[::-1]
     positions = jnp.cumsum(mask_desc.astype(jnp.int32)) - 1
     dest = jnp.where(mask_desc, jnp.minimum(positions, k), k)  # k = dropped
-    flat_ids_desc = jnp.arange(total - 1, -1, -1, dtype=jnp.int32)
+    # NOT jnp.arange(total-1, -1, -1): a negative-step arange materializes a
+    # CONCRETE (T*88,) array into the program as a literal — 150+ MB of
+    # constants in the hour-scale executable, which then costs minutes to
+    # compile/serialize and to ship to the device. iota minus stays symbolic.
+    flat_ids_desc = (total - 1) - jnp.arange(total, dtype=jnp.int32)
     onset_order = jnp.full((k,), -1, jnp.int32).at[dest].set(
         flat_ids_desc, mode="drop"
     )

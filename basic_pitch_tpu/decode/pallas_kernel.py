@@ -523,7 +523,9 @@ def decode_pallas(
     mask_desc = onset_mask.reshape(-1)[::-1]
     positions = jnp.cumsum(mask_desc.astype(jnp.int32)) - 1
     dest = jnp.where(mask_desc, jnp.minimum(positions, k), k)
-    flat_ids_desc = jnp.arange(total - 1, -1, -1, dtype=jnp.int32)
+    # symbolic iota, NOT jnp.arange(total-1, -1, -1): a negative-step arange
+    # bakes a concrete (T*88,) constant into the executable (see device.decode)
+    flat_ids_desc = (total - 1) - jnp.arange(total, dtype=jnp.int32)
     onset_order = jnp.full((k,), -1, jnp.int32).at[dest].set(flat_ids_desc, mode="drop")
     if k < max_notes:
         onset_order = jnp.pad(onset_order, (0, max_notes - k), constant_values=-1)
