@@ -445,10 +445,11 @@ class StreamingTranscriber:
             min_note_length,
             freq_mask,
         )
-        # start output copies now; each blocking read through a remote-device
-        # tunnel pays a large fixed round trip (~0.5 s measured)
-        for leaf in jax.tree_util.tree_leaves((decoded_dev, bends_inline_dev)):
-            leaf.copy_to_host_async()
+        # deliberately NO copy_to_host_async here: through a tunneled remote
+        # device each async copy stalls the stream for tens of seconds on its
+        # first use (measured 176-266 s for 7 leaves cold vs 6 s without;
+        # warm-process difference is <1 s either way). _collect/_collect_many
+        # fetch everything in one blocking device_get instead.
         return {
             "n_frames": n_frames,
             "decoded_dev": decoded_dev,
