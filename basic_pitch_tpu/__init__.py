@@ -30,10 +30,10 @@ class FilenameSuffix(enum.Enum):
     when one is locatable (see `build_icassp_2022_model_path`).
     """
 
-    tf = "npz"
-    coreml = "mlpackage"
-    tflite = "tflite"
-    onnx = "onnx"
+    tf = "nmp"
+    coreml = "nmp.mlpackage"
+    tflite = "nmp.tflite"
+    onnx = "nmp.onnx"
 
 
 def _reference_saved_models_dir() -> "pathlib.Path | None":
@@ -70,15 +70,14 @@ def build_icassp_2022_model_path(suffix: FilenameSuffix) -> pathlib.Path:
         return pathlib.Path(ICASSP_2022_MODEL_PATH)
     ref_dir = _reference_saved_models_dir()
     if ref_dir is not None:
-        name = "nmp" if suffix is FilenameSuffix.tf else f"nmp.{suffix.value}"
-        candidate = ref_dir / name
+        candidate = ref_dir / suffix.value
         if candidate.exists():
             return candidate
     raise FileNotFoundError(
         f"🚨 no {suffix.name} serialization of the ICASSP-2022 checkpoint is "
         "bundled with this package (only the npz weights are). Point "
         "BASIC_PITCH_SAVED_MODELS at a reference saved_models/icassp_2022 "
-        f"directory, or pass any nmp.{suffix.value} path straight to "
+        f"directory, or pass any {suffix.value} path straight to "
         "Model() — its format readers load all four reference "
         "serializations without the matching runtime."
     )

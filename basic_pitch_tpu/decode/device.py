@@ -262,12 +262,9 @@ def decode(
     t_end = orig_frames if valid_frames is None else valid_frames
     # windowed mode: per-note scans/zeroing touch SCAN_WINDOW frames instead
     # of the whole timeline (full-length fallback keeps exactness for notes
-    # that outgrow the window); pad to a block multiple for the maintenance
+    # that outgrow the window). No block padding needed: every windowed
+    # access is a dynamic_slice whose start is clipped to n_frames - W.
     windowed = orig_frames > SCAN_WINDOW
-    if windowed and orig_frames % SCAN_WINDOW != 0:
-        pad = SCAN_WINDOW - orig_frames % SCAN_WINDOW
-        frames = jnp.pad(frames, ((0, pad), (0, 0)))
-        onsets = jnp.pad(onsets, ((0, pad), (0, 0)))
     n_frames = frames.shape[0]
     frames, onsets = preprocess(frames, onsets, freq_mask, infer_onsets)
 

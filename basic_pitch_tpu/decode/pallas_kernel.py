@@ -428,6 +428,15 @@ def pallas_greedy_stages(
     T = frames_ft.shape[1]
     if T % 128 != 0:
         raise ValueError(f"frame count {T} must be a multiple of 128")
+    if onset_order.shape[0] % 128 != 0:
+        raise ValueError(
+            f"onset_order length {onset_order.shape[0]} must be a multiple of "
+            "128 (the kernel reads it in 128-lane aligned blocks)"
+        )
+    # the kernel's emit path read-modify-writes 128-lane aligned blocks of the
+    # note buffer, so its width must be a lane multiple; run with a rounded-up
+    # buffer and clamp back to the caller's cap afterwards
+    notes_cap = -(-max_notes // 128) * 128
     # slabs must tile the timeline exactly for the carried scans
     if T > SLAB and T % SLAB != 0:
         frames_ft = jnp.pad(frames_ft, ((0, 0), (0, SLAB - T % SLAB)))
@@ -445,7 +454,7 @@ def pallas_greedy_stages(
         ]
     )
     fparams = jnp.asarray([frame_thresh], jnp.float32)
-    order8 = jnp.zeros((8, max_notes), jnp.int32).at[0].set(onset_order)
+    order8 = jnp.zeros((8, onset_order.shape[0]), jnp.int32).at[0].set(onset_order)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -473,7 +482,7 @@ def pallas_greedy_stages(
         _decode_kernel,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((8, max_notes), jnp.int32),
+            jax.ShapeDtypeStruct((8, notes_cap), jnp.int32),
             jax.ShapeDtypeStruct((4,), jnp.int32),
             jax.ShapeDtypeStruct((F_PAD, T), jnp.float32),
         ),
@@ -481,8 +490,12 @@ def pallas_greedy_stages(
         interpret=interpret,
     )(iparams, fparams, order8, padded)
 
-    packed = notes8[:4].T  # (max_notes, 4): start, end, pitch, amp-bits
-    return packed, meta[0], meta[1] > 0
+    packed = notes8[:4, :max_notes].T  # (max_notes, 4): start, end, pitch, amp
+    # the kernel filled the lane-rounded buffer; notes past the caller's cap
+    # count as overflow exactly as the XLA decoder's fixed buffer would
+    n_notes = jnp.minimum(meta[0], max_notes)
+    overflow = (meta[1] > 0) | (meta[0] > max_notes)
+    return packed, n_notes, overflow
 
 
 def decode_pallas(
@@ -519,16 +532,25 @@ def decode_pallas(
     onset_mask = (peak_values >= onset_thresh) & (pos_t < t_end)
 
     total = n_frames * F
-    k = min(max_notes, total)
+    # candidate capacity scales with recording length, independent of the
+    # note-buffer size — same rule as device.decode (~0.25 onset
+    # candidates/frame on real material; a fixed max_notes-sized list
+    # spuriously overflows past ~10 minutes). Rounded up to a lane multiple
+    # for the kernel's aligned block reads.
+    k = min(max(max_notes, n_frames), total)  # logical cap — matches device.decode
+    k_pad = -(-k // 128) * 128  # buffer width (aligned kernel block reads)
     mask_desc = onset_mask.reshape(-1)[::-1]
     positions = jnp.cumsum(mask_desc.astype(jnp.int32)) - 1
-    dest = jnp.where(mask_desc, jnp.minimum(positions, k), k)
+    # candidates past the LOGICAL cap are dropped (scatter index k_pad is out
+    # of bounds -> mode="drop"), so truncation behaves exactly like the XLA
+    # decoder's k-sized list even though the buffer is lane-rounded
+    dest = jnp.where(mask_desc & (positions < k), positions, k_pad)
     # symbolic iota, NOT jnp.arange(total-1, -1, -1): a negative-step arange
     # bakes a concrete (T*88,) constant into the executable (see device.decode)
     flat_ids_desc = (total - 1) - jnp.arange(total, dtype=jnp.int32)
-    onset_order = jnp.full((k,), -1, jnp.int32).at[dest].set(flat_ids_desc, mode="drop")
-    if k < max_notes:
-        onset_order = jnp.pad(onset_order, (0, max_notes - k), constant_values=-1)
+    onset_order = jnp.full((k_pad,), -1, jnp.int32).at[dest].set(
+        flat_ids_desc, mode="drop"
+    )
     n_onsets = jnp.minimum(jnp.sum(onset_mask).astype(jnp.int32), k)
     onset_overflow = jnp.sum(onset_mask) > k
 

@@ -518,7 +518,7 @@ def predict_and_save_streaming(
     min_note_len = int(
         np.round(minimum_note_length / 1000 * (constants.AUDIO_SAMPLE_RATE / constants.FFT_HOP))
     )
-    events_per_file = transcriber.transcribe_batch(
+    results = transcriber.transcribe_batch(
         recordings,
         onset_threshold=onset_threshold,
         frame_threshold=frame_threshold,
@@ -527,18 +527,20 @@ def predict_and_save_streaming(
         max_freq=maximum_frequency,
         melodia_trick=melodia_trick,
         include_pitch_bends=True,
+        # posteriorgrams ride the same batched fetch — the model runs ONCE
+        # per file whether or not NPZs are requested
+        return_model_outputs=save_model_outputs,
     )
 
-    for audio_path, (samples, sr), note_events in zip(
-        audio_path_list, recordings, events_per_file
-    ):
+    for audio_path, result in zip(audio_path_list, results):
+        if save_model_outputs:
+            note_events, model_output = result
+        else:
+            note_events, model_output = result, None
         print(f"\nPredicting MIDI for {audio_path}...")
         midi_data = decode_export.note_events_to_midi(
             note_events, multiple_pitch_bends, midi_tempo
         )
-        model_output = None
-        if save_model_outputs:
-            model_output = transcriber.posteriorgrams(samples, sr)
         _write_artifacts(
             audio_path,
             output_directory,

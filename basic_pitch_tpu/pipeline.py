@@ -106,14 +106,16 @@ class StreamingTranscriber:
 
     # ------------------------------------------------------------------
 
-    def _piece_fn(self, is_44k: bool):
+    def _piece_fn(self, is_44k: bool, keep_contour: bool = False):
         """Jitted chunk program over an explicit audio piece (no slicing).
 
         Pieces upload independently, so the transfer of chunk c+1 overlaps
         the model compute of chunk c through the (high-latency) device link.
+        ``keep_contour`` additionally returns the raw contour posteriorgram
+        (for ``save_model_outputs``) so the model never runs twice.
         """
-        if is_44k in self._piece_cache:
-            return self._piece_cache[is_44k]
+        if (is_44k, keep_contour) in self._piece_cache:
+            return self._piece_cache[(is_44k, keep_contour)]
 
         from basic_pitch_tpu.decode import device as device_decode
 
@@ -138,7 +140,8 @@ class StreamingTranscriber:
             }
             # bend matrix is frame-local: computing it per chunk keeps the
             # (frames, 88, 51) gather bounded regardless of file length
-            out["bends"] = device_decode.bend_matrix(out.pop("contour"))
+            contour = out["contour"] if keep_contour else out.pop("contour")
+            out["bends"] = device_decode.bend_matrix(contour)
             return out
 
         if self.mesh is None:
@@ -150,16 +153,15 @@ class StreamingTranscriber:
             pspec = jax.sharding.PartitionSpec
             shard_frames = jax.sharding.NamedSharding(self.mesh, pspec("data"))
             replicated = jax.sharding.NamedSharding(self.mesh, pspec())
+            out_spec = {"note": shard_frames, "onset": shard_frames, "bends": shard_frames}
+            if keep_contour:
+                out_spec["contour"] = shard_frames
             fn = jax.jit(
                 run,
                 in_shardings=(replicated, replicated),
-                out_shardings={
-                    "note": shard_frames,
-                    "onset": shard_frames,
-                    "bends": shard_frames,
-                },
+                out_shardings=out_spec,
             )
-        self._piece_cache[is_44k] = fn
+        self._piece_cache[(is_44k, keep_contour)] = fn
         return fn
 
     def _decode_fused_fn(self, include_bends: bool, max_notes: int, infer_onsets: bool, melodia_trick: bool, n_chunks: int):
@@ -376,6 +378,7 @@ class StreamingTranscriber:
         melodia_trick: bool,
         include_pitch_bends: bool,
         max_notes: int,
+        keep_outputs: bool = False,
     ):
         """Enqueue uploads + chunk programs + decode for one recording.
 
@@ -417,17 +420,22 @@ class StreamingTranscriber:
         # native packer is present — ~1.4-1.9x fewer bytes over the
         # link-bound tunnel, decoded to the exact samples in HBM
         # (ops/pcmcodec.py; disabled on a mesh, where pieces replicate).
-        piece_fn = self._piece_fn(is_44k)
+        piece_fn = self._piece_fn(is_44k, keep_contour=keep_outputs)
         use_codec = (
             audio.dtype == np.int16 and self.mesh is None and pcmcodec.available()
         )
-        outs = []
+        raw_outs = []
         for piece in self._pieces(audio, is_44k, n_chunks):
             if use_codec:
                 dev_piece = pcmcodec.decode_to_device(pcmcodec.pack(piece), len(piece))
             else:
                 dev_piece = jax.device_put(piece)
-            outs.append(piece_fn(self.params, dev_piece))
+            raw_outs.append(piece_fn(self.params, dev_piece))
+        # decode consumes exactly {note, onset, bends}; when the contour was
+        # kept for save_model_outputs it rides the ticket, not the decode fn
+        # (whose pytree cache key must stay format-independent)
+        decode_keys = ("note", "onset", "bends")
+        outs = [{k: c[k] for k in decode_keys} for c in raw_outs]
         # the decode executable is keyed by the pow2 chunk bucket, so file
         # lengths share a handful of programs; the chunk list is padded to
         # the bucket with a cached zero chunk (same device buffers every
@@ -455,6 +463,13 @@ class StreamingTranscriber:
             "decoded_dev": decoded_dev,
             "bends_inline_dev": bends_inline_dev,
             "bends_all_dev": bends_all_dev,
+            # device-resident per-chunk posteriorgrams (with contour) so
+            # save_model_outputs never re-runs the model forward
+            "chunk_outs_dev": (
+                [{k: c[k] for k in ("note", "onset", "contour")} for c in raw_outs]
+                if keep_outputs
+                else None
+            ),
             "audio": audio,
             "sample_rate": sample_rate,
             "options": dict(
@@ -474,22 +489,28 @@ class StreamingTranscriber:
         assemble events per recording — a single blocking round trip through
         the device link instead of one per recording."""
         fetched = jax.device_get(
-            [(t["decoded_dev"], t["bends_inline_dev"]) for t in tickets]
+            [
+                (t["decoded_dev"], t["bends_inline_dev"], t["chunk_outs_dev"])
+                for t in tickets
+            ]
         )
         return [
-            self._assemble(ticket, decoded, bends_inline)
-            for ticket, (decoded, bends_inline) in zip(tickets, fetched)
+            self._assemble(ticket, decoded, bends_inline, chunk_outs)
+            for ticket, (decoded, bends_inline, chunk_outs) in zip(tickets, fetched)
         ]
 
     def _collect(self, ticket):
         """Block on one dispatched recording and assemble its note events."""
-        decoded, bends_inline = jax.device_get(
-            (ticket["decoded_dev"], ticket["bends_inline_dev"])
+        decoded, bends_inline, chunk_outs = jax.device_get(
+            (ticket["decoded_dev"], ticket["bends_inline_dev"], ticket["chunk_outs_dev"])
         )
-        return self._assemble(ticket, decoded, bends_inline)
+        return self._assemble(ticket, decoded, bends_inline, chunk_outs)
 
-    def _assemble(self, ticket, decoded, bends_inline):
-        """Host-side event assembly from fetched decode buffers."""
+    def _assemble(self, ticket, decoded, bends_inline, chunk_outs=None):
+        """Host-side event assembly from fetched decode buffers.
+
+        Returns the event list, or (events, {"note","onset","contour"}) when
+        the ticket carried posteriorgrams (keep_outputs dispatch)."""
         from basic_pitch_tpu.decode import device as device_decode
         from basic_pitch_tpu.decode import notes as host_decode
 
@@ -523,10 +544,17 @@ class StreamingTranscriber:
             events_f = device_decode.notes_to_events(decoded, None)
 
         times = host_decode.model_frames_to_time(n_frames)
-        return [
+        events = [
             (float(times[s]), float(times[min(e, n_frames - 1)]), p, a, b)
             for s, e, p, a, b in events_f
         ]
+        if chunk_outs is None:
+            return events
+        model_output = {
+            k: np.concatenate([c[k] for c in chunk_outs])[:n_frames]
+            for k in ("note", "onset", "contour")
+        }
+        return events, model_output
 
     def transcribe(
         self,
@@ -569,11 +597,16 @@ class StreamingTranscriber:
         melodia_trick: bool = True,
         include_pitch_bends: bool = True,
         max_notes: int = 16384,
+        return_model_outputs: bool = False,
     ):
         """Transcribe many recordings with pipelined uploads/compute/downloads.
 
         Args:
             recordings: list of (audio_samples, sample_rate) pairs.
+            return_model_outputs: also return each recording's
+                {"note","onset","contour"} posteriorgrams (fetched in the
+                same batched device_get; the model runs once either way) —
+                each result becomes (events, model_output).
 
         All uploads and fused programs are enqueued before the first result
         is collected, so host<->device transfers of one recording overlap
@@ -584,6 +617,7 @@ class StreamingTranscriber:
                 audio, sr, onset_threshold, frame_threshold, min_note_length,
                 min_freq, max_freq, infer_onsets, melodia_trick,
                 include_pitch_bends, max_notes,
+                keep_outputs=return_model_outputs,
             )
             for audio, sr in recordings
         ]
@@ -596,7 +630,11 @@ class StreamingTranscriber:
         from basic_pitch_tpu.utils import audio as audio_io
 
         if audio_io._is_wav(audio_path):
-            samples, sr = audio_io.read_wav(audio_path)
+            try:
+                samples, sr = audio_io.read_wav(audio_path)
+            except audio_io.WavFormatError:
+                # RIFF container with an unsupported codec (ADPCM, mu-law...)
+                samples, sr = audio_io.decode_with_ffmpeg(audio_path)
         else:
             samples, sr = audio_io.decode_with_ffmpeg(audio_path)
         mono = audio_io.to_mono(samples)

@@ -288,7 +288,14 @@ def load_audio(path: PathLike, sample_rate: int, mono: bool = True) -> Tuple[np.
     (`/root/reference/basic_pitch/inference.py:239`).
     """
     if _is_wav(path):
-        y, sr = read_wav_mono(path) if mono else read_wav(path)
+        try:
+            y, sr = read_wav_mono(path) if mono else read_wav(path)
+        except WavFormatError:
+            # RIFF container with a codec the native reader doesn't parse
+            # (ADPCM, A-law/mu-law, GSM...): transcode like any non-WAV file
+            y, sr = decode_with_ffmpeg(path)
+            if mono:
+                y = to_mono(y)
     else:
         y, sr = decode_with_ffmpeg(path)
         if mono:

@@ -93,6 +93,35 @@ def test_load_audio_non_wav_clear_error_without_ffmpeg(tmp_path, monkeypatch):
         audio_io.load_audio(fake, 22050)
 
 
+def test_load_audio_unsupported_wav_codec_falls_back(tmp_path, monkeypatch):
+    """A RIFF/WAVE container with a codec the native reader can't parse
+    (mu-law, ADPCM...) must route to the ffmpeg fallback, not abort —
+    the reference's librosa/audioread path decodes such WAVs fine."""
+    import struct
+
+    # minimal mu-law (format tag 7) WAV: valid RIFF structure, codec we skip
+    fmt = struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
+    data = b"\x7f" * 64
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    path = tmp_path / "ulaw.wav"
+    path.write_bytes(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+    called = {}
+
+    def fake_ffmpeg(p):
+        called["path"] = p
+        return np.zeros(100, dtype=np.float32), 8000
+
+    monkeypatch.setattr(audio_io, "decode_with_ffmpeg", fake_ffmpeg)
+    y, sr = audio_io.load_audio(path, 22050)
+    assert called["path"] == path
+    assert sr == 22050
+
+
 @pytest.mark.skipif(not audio_io.ffmpeg_available(), reason="ffmpeg not installed")
 def test_load_audio_flac_via_ffmpeg(tmp_path):
     sr = 22050

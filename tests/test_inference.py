@@ -118,6 +118,30 @@ def test_predict_and_save_writes_all_artifacts(model, tmp_path):
 
 
 @needs_clip
+def test_predict_and_save_streaming_artifacts_match(model, tmp_path):
+    """The batched streaming path writes the same artifact set, and its NPZ
+    posteriorgrams (fetched from the SAME forward pass as the decode — no
+    second model run) match the windowed path's."""
+    stream_dir = tmp_path / "stream"
+    ref_dir = tmp_path / "ref"
+    stream_dir.mkdir()
+    ref_dir.mkdir()
+    inference.predict_and_save_streaming(
+        [VOCADITO], stream_dir, True, False, True, True, model
+    )
+    produced = {p.suffix for p in stream_dir.iterdir()}
+    assert produced == {".mid", ".npz", ".csv"}
+    inference.predict_and_save([VOCADITO], ref_dir, False, False, True, False, model)
+    got = np.load(next(stream_dir.glob("*.npz")), allow_pickle=True)
+    want = np.load(next(ref_dir.glob("*.npz")), allow_pickle=True)
+    got_d = got["basic_pitch_model_output"].item()
+    want_d = want["basic_pitch_model_output"].item()
+    for key in ("note", "onset", "contour"):
+        assert got_d[key].shape == want_d[key].shape
+        assert float(np.abs(got_d[key] - want_d[key]).max()) < 5e-3
+
+
+@needs_clip
 def test_output_collision_refused(model, tmp_path):
     inference.predict_and_save([VOCADITO], tmp_path, True, False, False, False, model)
     with pytest.raises(IOError):
@@ -175,6 +199,14 @@ def test_filename_suffix_api():
     import basic_pitch_tpu as bp
 
     assert set(bp.FilenameSuffix.__members__) == {"tf", "coreml", "tflite", "onnx"}
+    # .value is the part the reference API exposes for path building
+    # (reference __init__.py:74-78, 91-92) — must match exactly
+    assert {s.name: s.value for s in bp.FilenameSuffix} == {
+        "tf": "nmp",
+        "coreml": "nmp.mlpackage",
+        "tflite": "nmp.tflite",
+        "onnx": "nmp.onnx",
+    }
     path = bp.build_icassp_2022_model_path(bp.FilenameSuffix.tf)
     assert pathlib.Path(path).exists()
     # the other suffixes resolve to a reference saved_models checkout when one

@@ -73,6 +73,42 @@ def test_dense_low_thresholds():
     _compare(frames, onsets, melodia=True, onset_t=0.3, frame_t=0.15)
 
 
+def test_candidate_capacity_scales_with_frames():
+    """Onset CANDIDATES exceeding max_notes must not flag overflow when the
+    kept notes fit — the candidate list scales with T exactly like
+    device.decode's (the long-recording fix), not with the note buffer."""
+    T, max_notes = 6400, 2048
+    frames = np.zeros((T, 88), np.float32)
+    onsets = np.zeros((T, 88), np.float32)
+    # ~3200 one-frame onset peaks whose notes are all too short to keep
+    rng = np.random.RandomState(11)
+    for t in range(2, T - 2, 2):
+        f = rng.randint(0, 88)
+        onsets[t, f] = 0.9  # strict local max in time (neighbours stay 0)
+    ref = jax.jit(
+        lambda f, o: device_decode.decode(
+            f, o, 0.5, 0.3, 5, None, True, False, max_notes=max_notes
+        )
+    )(frames, onsets)
+    out = pallas_kernel.decode_pallas(
+        frames, onsets, 0.5, 0.3, 5, melodia_trick=False,
+        max_notes=max_notes, interpret=True,
+    )
+    assert not bool(ref.overflow)
+    assert not bool(out.overflow)
+    assert int(ref.n_notes) == int(out.n_notes) == 0
+
+
+def test_max_notes_not_lane_multiple():
+    """A max_notes that is not a multiple of 128 must work (the kernel's
+    aligned block stores run on an internally rounded-up buffer)."""
+    rng = np.random.RandomState(12)
+    frames = (rng.rand(300, 88) ** 3).astype(np.float32)
+    onsets = (rng.rand(300, 88) ** 5).astype(np.float32)
+    n = _compare(frames, onsets, melodia=True, max_notes=1000)
+    assert n > 100
+
+
 def test_long_sustained_notes_cross_slabs():
     """A note sustained across several slabs drives the scan-state carry."""
     frames = np.zeros((2100, 88), np.float32)
