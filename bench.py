@@ -94,16 +94,17 @@ def main() -> None:
     # warmup: compile chunk + decode executables at the bench shapes
     transcriber.transcribe(recordings[0][0], 22050)
 
-    best, events = 0.0, []
-    for _ in range(5):
+    # best-of-N: tunnel throughput varies ~2-3x minute-to-minute
+    # (DESIGN.md §5); interleaving the two modes spreads each metric's
+    # samples across more tunnel weather
+    best, single, events = 0.0, 0.0, []
+    for _ in range(7):
         t0 = time.time()
         results = transcriber.transcribe_batch(recordings)
         dt = time.time() - t0
         best = max(best, audio_seconds / dt)
         events = results
 
-    single = 0.0
-    for _ in range(4):
         t0 = time.time()
         transcriber.transcribe(recordings[0][0], 22050)
         single = max(single, seconds_per_file / (time.time() - t0))
