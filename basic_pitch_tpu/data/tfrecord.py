@@ -85,11 +85,15 @@ def read_tfrecords(path: PathLike, verify: bool = False) -> Iterator[bytes]:
             if len(header) < 8:
                 return
             (length,) = struct.unpack("<Q", header)
-            (header_crc,) = struct.unpack("<I", fh.read(4))
+            header_crc_raw = fh.read(4)
             record = fh.read(length)
-            (record_crc,) = struct.unpack("<I", fh.read(4))
-            if len(record) < length:
+            record_crc_raw = fh.read(4)
+            # validate read sizes BEFORE unpacking: a file cut mid-record
+            # must raise the truncation IOError, not struct.error
+            if len(header_crc_raw) < 4 or len(record) < length or len(record_crc_raw) < 4:
                 raise IOError(f"truncated record in {path}")
+            (header_crc,) = struct.unpack("<I", header_crc_raw)
+            (record_crc,) = struct.unpack("<I", record_crc_raw)
             if verify:
                 if masked_crc(header) != header_crc:
                     raise IOError(f"corrupt length CRC in {path}")

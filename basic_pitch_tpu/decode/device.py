@@ -266,6 +266,13 @@ def decode(
     # access is a dynamic_slice whose start is clipped to n_frames - W.
     windowed = orig_frames > SCAN_WINDOW
     n_frames = frames.shape[0]
+    if valid_frames is not None:
+        # zero the padded tail so BOTH stages behave exactly as if the
+        # arrays ended at t_end — stage 1 also guards via its masks, but the
+        # melodia seed search scans the whole residual matrix
+        pad_mask = (jnp.arange(n_frames)[:, None] < t_end).astype(frames.dtype)
+        frames = frames * pad_mask
+        onsets = onsets * pad_mask
     frames, onsets = preprocess(frames, onsets, freq_mask, infer_onsets)
 
     # strict local maxima over time, valued at the onset, thresholded —

@@ -520,6 +520,12 @@ def decode_pallas(
 
     n_frames = frames.shape[0]
     t_end = n_frames if valid_frames is None else valid_frames
+    if valid_frames is not None:
+        # zero the padded tail so the in-kernel melodia seed search never
+        # sees residual energy past t_end (same guard as device.decode)
+        pad_mask = (jnp.arange(n_frames)[:, None] < t_end).astype(frames.dtype)
+        frames = frames * pad_mask
+        onsets = onsets * pad_mask
     frames, onsets = device_decode.preprocess(frames, onsets, freq_mask, infer_onsets)
 
     # peak picking + descending-flat-index compaction — identical to

@@ -119,6 +119,13 @@ class Model:
         if x.ndim == 1:
             x = x[None]
         n = x.shape[0]
+        if n == 0:  # zero windows: empty posteriorgrams, correct frame/bin dims
+            t = constants.ANNOT_N_FRAMES
+            return {
+                "note": np.zeros((0, t, constants.N_FREQ_BINS_NOTES), np.float32),
+                "onset": np.zeros((0, t, constants.N_FREQ_BINS_NOTES), np.float32),
+                "contour": np.zeros((0, t, constants.N_FREQ_BINS_CONTOURS), np.float32),
+            }
 
         chunks: List[Dict[str, np.ndarray]] = []
         for start in range(0, n, _MAX_DEVICE_BATCH):

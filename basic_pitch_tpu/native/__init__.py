@@ -28,8 +28,12 @@ _build_failed = False
 
 
 def _build() -> bool:
+    # no -march=native: the .so is cached next to the source, so a checkout
+    # shared between machines (NFS, container images) would execute another
+    # host's ISA extensions and SIGILL; these entry points are stream/byte
+    # bound, so portable -O3 costs nothing measurable
     cmd = [
-        "g++", "-O3", "-march=native", "-shared", "-fPIC",
+        "g++", "-O3", "-shared", "-fPIC",
         "-o", str(_LIB_PATH), str(_SRC),
     ]
     try:

@@ -196,25 +196,44 @@ def build_cqt_kernels(
 _DEC_BLOCK = 128  # output samples per decimation block (= MXU tile edge)
 
 
-def _decimation_matrix(lowpass: np.ndarray) -> np.ndarray:
-    """Block-Toeplitz matrix turning decimate-by-2 into one matmul.
+def stride2_toeplitz_matrix(taps: np.ndarray, block: int = _DEC_BLOCK) -> np.ndarray:
+    """Block-Toeplitz matrix turning a stride-2 FIR into one matmul.
 
-    With z the (127,127) zero-padded signal, y[n] = sum_k h[k] z[2n+k].
-    Splitting y into blocks of 128 and z into blocks of 256, output block i
+    With z the left-padded signal, y[n] = sum_k h[k] z[2n+k]. Splitting y
+    into blocks of `block` and z into blocks of 2*block, output block i
     depends only on z blocks (i, i+1):
 
-        y[128 i + t] = sum_o  seg_i[o] * W[o, t],  seg_i = z[256 i : 256 i + 512]
+        y[block i + t] = sum_o  seg_i[o] * W[o, t],
+        seg_i = z[2 block i : 2 block i + 4 block],
         W[o, t] = h[o - 2 t]  for 0 <= o - 2 t < len(h)
 
-    Returns W with shape (2 * 2 * block, block) = (512, 128) for 256 taps.
+    Shared by the CQT octave cascade (256 taps) and the on-device 44.1->22.05
+    decimator (`ops/resample.py`, 257 taps). Returns (4*block, block).
     """
-    k = lowpass.shape[0]
-    assert k == 2 * _DEC_BLOCK, "decimation matrix assumes 256-tap FIR"
-    w = np.zeros((4 * _DEC_BLOCK, _DEC_BLOCK), dtype=np.float64)
-    offsets = np.arange(4 * _DEC_BLOCK)[:, None] - 2 * np.arange(_DEC_BLOCK)[None, :]
+    k = taps.shape[0]
+    assert k <= 2 * block + 2, "taps must fit the two-block segment span"
+    w = np.zeros((4 * block, block), dtype=np.float64)
+    offsets = np.arange(4 * block)[:, None] - 2 * np.arange(block)[None, :]
     valid = (offsets >= 0) & (offsets < k)
-    w[valid] = lowpass[offsets[valid]]
-    return w.astype(np.float32)  # (512, 128)
+    w[valid] = taps[offsets[valid]]
+    return w.astype(np.float32)
+
+
+def stride2_blocked_matmul(z: jnp.ndarray, w: jnp.ndarray, n_blocks: int, precision):
+    """Apply a `stride2_toeplitz_matrix` to a prepared (batch, 2*block*(n_blocks+1))
+    signal; returns (batch, n_blocks*block) outputs (caller slices to n_out)."""
+    batch = z.shape[0]
+    block = w.shape[1]
+    zb = z.reshape(batch, n_blocks + 1, 2 * block)
+    segs = jnp.concatenate([zb[:, :-1], zb[:, 1:]], axis=-1)  # (b, n_blocks, 4*block)
+    y = jnp.dot(segs, w, precision=precision, preferred_element_type=jnp.float32)
+    return y.reshape(batch, n_blocks * block)
+
+
+def _decimation_matrix(lowpass: np.ndarray) -> np.ndarray:
+    """The CQT cascade's (512, 128) stride-2 matrix (256-tap FIR)."""
+    assert lowpass.shape[0] == 2 * _DEC_BLOCK, "decimation matrix assumes 256-tap FIR"
+    return stride2_toeplitz_matrix(lowpass, _DEC_BLOCK)
 
 
 def decimated_length(length: int) -> int:
@@ -242,10 +261,7 @@ def _decimate_by_2(x: jnp.ndarray, dec_matrix: jnp.ndarray, precision) -> jnp.nd
     pad_left = _DEC_BLOCK - 1  # (256 - 1) // 2 = 127
     z_len = 2 * _DEC_BLOCK * (n_blocks + 1)
     z = jnp.pad(x, ((0, 0), (pad_left, z_len - pad_left - length)))
-    zb = z.reshape(batch, n_blocks + 1, 2 * _DEC_BLOCK)
-    segs = jnp.concatenate([zb[:, :-1], zb[:, 1:]], axis=-1)  # (b, n_blocks, 512)
-    y = jnp.dot(segs, dec_matrix, precision=precision, preferred_element_type=jnp.float32)
-    return y.reshape(batch, n_blocks * _DEC_BLOCK)[:, :n_out]
+    return stride2_blocked_matmul(z, dec_matrix, n_blocks, precision)[:, :n_out]
 
 
 def _octave_cqt(

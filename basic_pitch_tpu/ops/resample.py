@@ -35,13 +35,12 @@ def decimate2_taps() -> np.ndarray:
 @functools.lru_cache(maxsize=None)
 def _decimate2_matrix() -> np.ndarray:
     """(512, 128) block matrix: y[128 i + t] = sum_j h[j] z[256 i + 2 t + j]
-    with z = x padded by (N_TAPS-1)//2 = 128 zeros on the left."""
-    taps = decimate2_taps()
-    w = np.zeros((4 * _BLOCK, _BLOCK), dtype=np.float64)
-    offsets = np.arange(4 * _BLOCK)[:, None] - 2 * np.arange(_BLOCK)[None, :]
-    valid = (offsets >= 0) & (offsets < N_TAPS)
-    w[valid] = taps[offsets[valid]]
-    return w.astype(np.float32)
+    with z = x padded by (N_TAPS-1)//2 = 128 zeros on the left. Built by the
+    shared `cqt.stride2_toeplitz_matrix` (same construction as the CQT's
+    octave cascade)."""
+    from basic_pitch_tpu.ops import cqt
+
+    return cqt.stride2_toeplitz_matrix(decimate2_taps(), _BLOCK)
 
 
 def decimate2_output_length(n: int) -> int:
@@ -76,13 +75,12 @@ def decimate2(
     else:
         n_out = decimate2_output_length(length) if n_out is None else n_out
         pad_left = (N_TAPS - 1) // 2  # 128
+    from basic_pitch_tpu.ops import cqt
+
     n_blocks = -(-n_out // _BLOCK)
     z_len = 2 * _BLOCK * (n_blocks + 1)
     z = jnp.pad(x, ((0, 0), (pad_left, max(0, z_len - pad_left - length))))[:, :z_len]
-    zb = z.reshape(batch, n_blocks + 1, 2 * _BLOCK)
-    segs = jnp.concatenate([zb[:, :-1], zb[:, 1:]], axis=-1)
-    y = jnp.dot(
-        segs, jnp.asarray(_decimate2_matrix()), precision=precision, preferred_element_type=jnp.float32
-    )
-    y = y.reshape(batch, n_blocks * _BLOCK)[:, :n_out]
+    y = cqt.stride2_blocked_matmul(
+        z, jnp.asarray(_decimate2_matrix()), n_blocks, precision
+    )[:, :n_out]
     return y[0] if squeeze else y

@@ -518,8 +518,18 @@ class StreamingTranscriber:
         n_frames = ticket["n_frames"]
 
         if bool(decoded.overflow):  # pathological density: host fallback
-            out, _ = self._device_posteriorgrams(ticket["audio"], ticket["sample_rate"])
-            host_out = {k: np.asarray(v)[:n_frames] for k, v in out.items()}
+            if chunk_outs is not None:
+                # the posteriorgrams already crossed the link — reuse them
+                # rather than re-running the whole upload + model forward
+                host_out = {
+                    k: np.concatenate([c[k] for c in chunk_outs])[:n_frames]
+                    for k in ("note", "onset", "contour")
+                }
+            else:
+                out, _ = self._device_posteriorgrams(
+                    ticket["audio"], ticket["sample_rate"]
+                )
+                host_out = {k: np.asarray(v)[:n_frames] for k, v in out.items()}
             config = host_decode.DecodeConfig(
                 onset_threshold=opts["onset_threshold"],
                 frame_threshold=opts["frame_threshold"],

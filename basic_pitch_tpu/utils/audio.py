@@ -48,32 +48,17 @@ def read_wav(path: PathLike) -> Tuple[np.ndarray, int]:
 
 
 def read_wav_bytes(raw: bytes, name: str = "<bytes>") -> Tuple[np.ndarray, int]:
-    """Decode in-memory WAV bytes (same contract as `read_wav`)."""
+    """Decode in-memory WAV bytes (same contract as `read_wav`).
+
+    The container walk is shared with `_parse_wav_header` (one chunk parser
+    for both the float and the PCM16-transport paths)."""
     path = name
-    if len(raw) < 12 or raw[:4] != _RIFF or raw[8:12] != _WAVE:
-        raise WavFormatError(f"{path} is not a RIFF/WAVE file")
-
-    fmt = None
-    data = None
-    pos = 12
-    while pos + 8 <= len(raw):
-        chunk_id = raw[pos : pos + 4]
-        (chunk_size,) = struct.unpack_from("<I", raw, pos + 4)
-        body = raw[pos + 8 : pos + 8 + chunk_size]
-        if chunk_id == _FMT:
-            fmt = body
-        elif chunk_id == _DATA:
-            data = body
-        pos += 8 + chunk_size + (chunk_size & 1)  # chunks are word-aligned
-
-    if fmt is None or data is None:
+    header = _parse_wav_header(raw)
+    if header is None:
+        if len(raw) < 12 or raw[:4] != _RIFF or raw[8:12] != _WAVE:
+            raise WavFormatError(f"{path} is not a RIFF/WAVE file")
         raise WavFormatError(f"{path}: missing fmt/data chunk")
-
-    audio_format, n_channels, sample_rate, _, _, bits = struct.unpack_from("<HHIIHH", fmt, 0)
-    if audio_format == WAVE_FORMAT_EXTENSIBLE:
-        if len(fmt) < 26:
-            raise WavFormatError("truncated WAVE_FORMAT_EXTENSIBLE fmt chunk")
-        (audio_format,) = struct.unpack_from("<H", fmt, 24)  # first 2 bytes of SubFormat GUID
+    audio_format, n_channels, sample_rate, bits, data = header
 
     if audio_format == WAVE_FORMAT_PCM:
         if bits == 8:
@@ -238,7 +223,10 @@ def resample(x: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
         fast = native.resample_poly(np.asarray(x, np.float32), up, down, taps, n_out)
         if fast is not None:
             return fast
-    y = resample_poly(np.asarray(x, dtype=np.float64), up, down, window=taps * up)
+    # scipy multiplies an array window by `up` itself (interpolation gain);
+    # pre-scaling here double-applied it, blowing outputs up by `up`x for
+    # any rate pair with up>1 (e.g. 48k->22.05k: gain 147)
+    y = resample_poly(np.asarray(x, dtype=np.float64), up, down, window=taps)
     n_out = int(np.ceil(len(x) * sr_out / sr_in))
     if len(y) < n_out:
         y = np.pad(y, (0, n_out - len(y)))

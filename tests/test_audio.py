@@ -71,6 +71,17 @@ def test_resample_identity():
     np.testing.assert_array_equal(audio_io.resample(x, 22050, 22050), x)
 
 
+def test_resample_unity_gain_all_ratios():
+    """Regression: scipy multiplies an array window by `up` itself; passing
+    taps*up double-applied the interpolation gain (48k->22.05k came out
+    147x too loud)."""
+    for sr_in, sr_out in [(48000, 22050), (32000, 22050), (22050, 44100), (16000, 22050)]:
+        t = np.arange(sr_in) / sr_in
+        x = np.sin(2 * np.pi * 440.0 * t).astype(np.float32)
+        y = audio_io.resample(x, sr_in, sr_out)
+        assert 0.9 < np.abs(y).max() < 1.1, (sr_in, sr_out, np.abs(y).max())
+
+
 def test_resample_length_convention():
     # ceil(n * out/in), the convention the reference's loader follows
     x = np.zeros(200607 * 2 + 1, dtype=np.float32)

@@ -63,6 +63,20 @@ def test_tfrecord_roundtrip(tmp_path):
     assert list(tfrecord.read_tfrecords(path, verify=True)) == records
 
 
+def test_tfrecord_truncated_raises_ioerror(tmp_path):
+    """A file cut mid-record must raise the truncation IOError (not a bare
+    struct.error from unpacking a short CRC read)."""
+    path = tmp_path / "t.tfrecord"
+    with tfrecord.TFRecordWriter(path) as writer:
+        writer.write(b"payload" * 50)
+    whole = path.read_bytes()
+    for cut in (len(whole) - 2, len(whole) - 6, 10):  # mid-CRC, mid-record, mid-header-CRC
+        trunc = tmp_path / f"cut{cut}.tfrecord"
+        trunc.write_bytes(whole[:cut])
+        with pytest.raises(IOError, match="truncated record"):
+            list(tfrecord.read_tfrecords(trunc))
+
+
 @pytest.mark.skipif(not HAS_TF, reason="tensorflow unavailable")
 def test_tf_reads_our_tfrecords(tmp_path):
     import tensorflow as tf

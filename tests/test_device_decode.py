@@ -190,6 +190,32 @@ def test_padded_valid_frames_equivalence(seed):
     _assert_same(_host_events(frames, onsets, config), device_ev)
 
 
+@pytest.mark.parametrize("seed", range(2))
+def test_garbage_beyond_valid_frames_ignored(seed):
+    """valid_frames must silence the padded tail for BOTH stages: the
+    melodia seed search scans the whole residual matrix, so above-threshold
+    garbage past t_end (real model output from zero-padded audio — the
+    bucketing use case) previously produced spurious notes."""
+    rng = np.random.RandomState(400 + seed)
+    n_frames = int(rng.choice([60, 120]))
+    frames, onsets = _random_posteriorgrams(rng, n_frames)
+    config = host.DecodeConfig(min_note_length=5)
+    pad = 64
+    fp = np.pad(frames, ((0, pad), (0, 0)))
+    op = np.pad(onsets, ((0, pad), (0, 0)))
+    fp[n_frames:] = 0.95  # dense above-threshold garbage in the tail
+    op[n_frames:] = 0.9
+    decoded = jax.jit(
+        dev.decode, static_argnames=("max_notes", "max_melodia_iters")
+    )(
+        jnp.asarray(fp), jnp.asarray(op),
+        config.onset_threshold, config.frame_threshold, config.min_note_length,
+        valid_frames=n_frames, max_notes=512, max_melodia_iters=4096,
+    )
+    device_ev = [(s, e, p, a) for s, e, p, a, _ in dev.notes_to_events(decoded, None)]
+    _assert_same(_host_events(frames, onsets, config), device_ev)
+
+
 @pytest.mark.parametrize("seed", range(4))
 def test_windowed_mode_matches_host_oracle(seed):
     """T > SCAN_WINDOW activates windowed scans; results must still match."""

@@ -117,6 +117,12 @@ def test_predict_and_save_writes_all_artifacts(model, tmp_path):
     assert produced == {".mid", ".npz", ".wav", ".csv"}
 
 
+def test_model_predict_empty_batch(model):
+    out = model.predict(np.zeros((0, constants.AUDIO_N_SAMPLES), np.float32))
+    assert out["note"].shape == (0, constants.ANNOT_N_FRAMES, constants.N_FREQ_BINS_NOTES)
+    assert out["contour"].shape == (0, constants.ANNOT_N_FRAMES, constants.N_FREQ_BINS_CONTOURS)
+
+
 @needs_clip
 def test_predict_and_save_streaming_artifacts_match(model, tmp_path):
     """The batched streaming path writes the same artifact set, and its NPZ
