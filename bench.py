@@ -92,7 +92,11 @@ def main() -> None:
     transcriber = pipeline.StreamingTranscriber(windows_per_chunk=192)
 
     # warmup: compile chunk + decode executables at the bench shapes
-    transcriber.transcribe(recordings[0][0], 22050)
+    # (retry once — a transient tunnel error here must not kill the bench)
+    try:
+        transcriber.transcribe(recordings[0][0], 22050)
+    except Exception:
+        transcriber.transcribe(recordings[0][0], 22050)
 
     # best-of-N: tunnel throughput varies ~2-3x minute-to-minute
     # (DESIGN.md §5); interleaving the two modes spreads each metric's
