@@ -72,8 +72,9 @@ def load() -> Optional[ctypes.CDLL]:
         lib.resample_down_f32.argtypes = [ptr, i64, i32, ptr, i32, ptr, i64]
         lib.crc32c.argtypes = [ptr, i64]
         lib.crc32c.restype = u32
-        lib.pack_pcm16_residual.argtypes = [ptr, i64, ptr, i32, ptr, i64, ptr, ptr, ptr]
+        lib.pack_pcm16_residual.argtypes = [ptr, i64, i32, ptr, i32, ptr, i64, ptr, ptr, ptr]
         lib.pack_pcm16_residual.restype = i64
+        lib.residual_order_costs.argtypes = [ptr, i64, ptr]
         _lib = lib
         return _lib
 

@@ -161,23 +161,75 @@ uint32_t crc32c(const uint8_t* data, int64_t n) {
 
 // --- lossless PCM16 residual packer (device-side decompression transport) ---
 //
-// Splits int16 PCM into 256-sample blocks: the first two samples go to
-// `head2` verbatim; the remaining 254 are 2nd-order residuals
-// r[i] = x[i] - 2x[i-1] + x[i-2], packed at the smallest per-block bit
-// width drawn from `kset`. Blocks are grouped by width and each group's
-// blocks are laid out consecutively in `kset` order, every block starting
-// 32-bit aligned ((254*k+31)/32 words per block). `idx` records, stream
-// row by stream row, which block each row encodes; `counts[j]` is the
-// number of blocks in kset[j]'s stream. The matching consumer is the
-// XLA unpack program in basic_pitch_tpu/ops/pcmcodec.py (and its numpy
-// reference in the same file). Returns total words written, or -1 when
-// n is not a multiple of 256 / kset cannot represent a residual / the
-// word buffer is too small.
-int64_t pack_pcm16_residual(const int16_t* x, int64_t n, const int32_t* kset,
-                            int32_t n_k, uint32_t* words, int64_t words_cap,
-                            int32_t* idx, int16_t* head2, int64_t* counts) {
-    const int64_t kBlock = 256, kPay = 254;
-    if (n % kBlock != 0) return -1;
+// Splits int16 PCM into 256-sample blocks: the first `order` samples go to
+// `heads` verbatim (the integration constants); the remaining 256-order are
+// order-th finite-difference residuals (FLAC-style fixed predictor, order
+// 1..3), packed at the smallest per-block bit width drawn from `kset`.
+// Blocks are grouped by width and each group's blocks are laid out
+// consecutively in `kset` order, every block starting 32-bit aligned
+// (((256-order)*k+31)/32 words per block). `idx` records, stream row by
+// stream row, which block each row encodes; `counts[j]` is the number of
+// blocks in kset[j]'s stream. The matching consumer is the XLA unpack
+// program in basic_pitch_tpu/ops/pcmcodec.py (and its numpy reference in
+// the same file). Returns total words written, or -1 when n is not a
+// multiple of 256 / order is out of range / kset cannot represent a
+// residual / the word buffer is too small.
+
+static inline int32_t diff_residual(const int16_t* blk, int64_t i, int32_t order) {
+    switch (order) {
+        case 1: return (int32_t)blk[i] - (int32_t)blk[i - 1];
+        case 2: return (int32_t)blk[i] - 2 * (int32_t)blk[i - 1] + (int32_t)blk[i - 2];
+        default:
+            return (int32_t)blk[i] - 3 * (int32_t)blk[i - 1] +
+                   3 * (int32_t)blk[i - 2] - (int32_t)blk[i - 3];
+    }
+}
+
+// Total payload bits for each candidate order (exact signed widths, no
+// ladder rounding) — the packer caller picks the cheapest order globally.
+// Single pass: d2/d3 derive incrementally from the running d1/d2.
+void residual_order_costs(const int16_t* x, int64_t n, int64_t* bits_out) {
+    const int64_t kBlock = 256;
+    const int64_t nb = n / kBlock;
+    for (int32_t o = 1; o <= 3; ++o) bits_out[o - 1] = 0;
+    for (int64_t b = 0; b < nb; ++b) {
+        const int16_t* blk = x + b * kBlock;
+        int32_t m1 = 0, m2 = 0, m3 = 0;
+        int32_t d1p = (int32_t)blk[1] - (int32_t)blk[0];
+        int32_t a0 = d1p < 0 ? -d1p : d1p;
+        if (a0 > m1) m1 = a0;
+        int32_t d2p = 0;
+        for (int64_t i = 2; i < kBlock; ++i) {
+            const int32_t d1 = (int32_t)blk[i] - (int32_t)blk[i - 1];
+            const int32_t d2 = d1 - d1p;
+            const int32_t a1 = d1 < 0 ? -d1 : d1;
+            const int32_t a2 = d2 < 0 ? -d2 : d2;
+            if (a1 > m1) m1 = a1;
+            if (a2 > m2) m2 = a2;
+            if (i >= 3) {
+                const int32_t d3 = d2 - d2p;
+                const int32_t a3 = d3 < 0 ? -d3 : d3;
+                if (a3 > m3) m3 = a3;
+            }
+            d1p = d1;
+            d2p = d2;
+        }
+        const int32_t m[3] = {m1, m2, m3};
+        for (int32_t o = 1; o <= 3; ++o) {
+            int32_t need = 2;
+            while (need < 32 && m[o - 1] > (1 << (need - 1)) - 1) ++need;
+            bits_out[o - 1] += (int64_t)need * (kBlock - o) + 16 * o;
+        }
+    }
+}
+
+int64_t pack_pcm16_residual(const int16_t* x, int64_t n, int32_t order,
+                            const int32_t* kset, int32_t n_k, uint32_t* words,
+                            int64_t words_cap, int32_t* idx, int16_t* heads,
+                            int64_t* counts) {
+    const int64_t kBlock = 256;
+    if (n % kBlock != 0 || order < 1 || order > 3) return -1;
+    const int64_t kPay = kBlock - order;
     const int64_t nb = n / kBlock;
 
     // pass 1: class per block (index into kset) from the residual range
@@ -187,8 +239,8 @@ int64_t pack_pcm16_residual(const int16_t* x, int64_t n, const int32_t* kset,
     for (int64_t b = 0; b < nb; ++b) {
         const int16_t* blk = x + b * kBlock;
         int32_t maxabs = 0;
-        for (int64_t i = 2; i < kBlock; ++i) {
-            int32_t r = (int32_t)blk[i] - 2 * (int32_t)blk[i - 1] + (int32_t)blk[i - 2];
+        for (int64_t i = order; i < kBlock; ++i) {
+            int32_t r = diff_residual(blk, i, order);
             int32_t a = r < 0 ? -r : r;
             if (a > maxabs) maxabs = a;
         }
@@ -200,8 +252,7 @@ int64_t pack_pcm16_residual(const int16_t* x, int64_t n, const int32_t* kset,
         if (pick < 0) { free(cls); return -1; }
         cls[b] = (unsigned char)pick;
         counts[pick]++;
-        head2[2 * b] = blk[0];
-        head2[2 * b + 1] = blk[1];
+        for (int32_t h = 0; h < order; ++h) heads[order * b + h] = blk[h];
     }
 
     // stream layout: kset order, 32-bit-aligned rows
@@ -229,8 +280,8 @@ int64_t pack_pcm16_residual(const int16_t* x, int64_t n, const int32_t* kset,
         const int16_t* blk = x + b * kBlock;
         const uint32_t mask = (k == 32) ? 0xFFFFFFFFu : ((1u << k) - 1);
         int64_t pos = 0;
-        for (int64_t i = 2; i < kBlock; ++i, pos += k) {
-            int32_t r = (int32_t)blk[i] - 2 * (int32_t)blk[i - 1] + (int32_t)blk[i - 2];
+        for (int64_t i = order; i < kBlock; ++i, pos += k) {
+            int32_t r = diff_residual(blk, i, order);
             uint32_t v = (uint32_t)r & mask;
             const int64_t w = pos >> 5;
             const int32_t sh = (int32_t)(pos & 31);

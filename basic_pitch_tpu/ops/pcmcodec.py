@@ -3,19 +3,21 @@
 The tunneled host->device link is the transcription pipeline's bottleneck
 (docs/DESIGN.md §2: ~35 MB/s, so a 600 s recording's 26.5 MB of int16 PCM
 costs ~0.75 s — more than the model forward and decode combined). This
-module cuts those bytes losslessly: the host packs second-order residuals
-(r[i] = x[i] - 2x[i-1] + x[i-2], i.e. Δ²x) at per-block adaptive bit
-widths, and a set of small XLA programs reconstructs the exact int16
-samples in HBM. Measured ratios: ~1.9x on polyphonic synthetic piano,
-~1.4x on real vocals — a direct multiplier on link-bound throughput.
+module cuts those bytes losslessly: the host packs fixed-predictor
+residuals (FLAC-style finite differences, order 1-3 chosen per piece by
+exact payload cost) at per-block adaptive bit widths, and a set of small
+XLA programs reconstructs the exact int16 samples in HBM. Measured ratios:
+~2.2x on polyphonic synthetic piano, ~1.4x on real vocals — a direct
+multiplier on link-bound throughput.
 
 Wire format (produced by `native/bp_native.cpp:pack_pcm16_residual` or the
 numpy reference `pack_numpy` here):
 
-- 256-sample blocks; each block's first two samples verbatim in `head2`
-  (int16, the integration constants), remaining 254 as k-bit two's-
-  complement residuals, k = the smallest width in `KSET` that covers the
-  block's residual range (k=18 always suffices for int16 input).
+- 256-sample blocks; one fixed-predictor order (1..3, FLAC-style) chosen
+  per PIECE by exact payload cost; each block's first `order` samples ship
+  verbatim in `heads` (int16, the integration constants), remaining
+  256-order as k-bit two's-complement residuals, k = the smallest width in
+  `KSET` that covers the block's residual range (k=19 always suffices).
 - Blocks are grouped by k; each group's rows are laid out consecutively
   in one u32 buffer (KSET order, every row 32-bit aligned), so the device
   can unpack each group DENSELY — static column slices and shifts, no
@@ -48,18 +50,24 @@ import numpy as np
 from jax import lax
 
 BLOCK = 256
-PAY = BLOCK - 2
-# Descending = stream layout order. 18 bits always covers Δ² of int16.
-# Every width is present: rounding a block up to a coarser ladder wastes
-# ~8% of payload bits (measured vs this dense ladder); per-(k, bucket)
-# executables stay bounded because a given recording only populates the
-# handful of widths its residual histogram spans.
-KSET: Tuple[int, ...] = tuple(range(18, 1, -1))
+# Descending = stream layout order. 19 bits covers the order-3 residual of
+# int16 (|Δ³x| < 2^18); 18 covers Δ², 17 covers Δ¹. Every width is present:
+# rounding a block up to a coarser ladder wastes ~8% of payload bits
+# (measured vs this dense ladder); per-(k, bucket) executables stay bounded
+# because a given recording only populates the handful of widths its
+# residual histogram spans.
+KSET: Tuple[int, ...] = tuple(range(19, 1, -1))
 _MIN_BUCKET = 8
+_ORDERS = (1, 2, 3)  # FLAC-style fixed-predictor orders; best chosen per piece
 
 
-def words_per_block(k: int) -> int:
-    return (PAY * k + 31) // 32
+def payload_len(order: int) -> int:
+    """Residual samples per block: the first `order` samples ship verbatim."""
+    return BLOCK - order
+
+
+def words_per_block(k: int, order: int = 2) -> int:
+    return (payload_len(order) * k + 31) // 32
 
 
 @dataclass
@@ -68,13 +76,14 @@ class PackedPCM:
 
     words: np.ndarray  # (total_words,) uint32, all groups back to back
     groups: List[Tuple[int, int, int, np.ndarray]]  # (k, word_off, n_rows, idx)
-    head2: np.ndarray  # (nb, 2) int16
+    heads: np.ndarray  # (nb, order) int16 — per-block integration constants
     n_samples: int
     nb: int
+    order: int = 2  # fixed-predictor order shared by the whole piece
 
     @property
     def packed_bytes(self) -> int:
-        return self.words.nbytes + self.head2.nbytes + sum(
+        return self.words.nbytes + self.heads.nbytes + sum(
             g[3].nbytes for g in self.groups
         )
 
@@ -86,39 +95,71 @@ class PackedPCM:
 _kset_arr = np.asarray(KSET, np.int32)
 
 
-def _native_pack(pcm: np.ndarray):
+def _native_choose_order(pcm: np.ndarray) -> Optional[int]:
+    from basic_pitch_tpu import native
+
+    lib = native.load()
+    if lib is None or not hasattr(lib, "residual_order_costs"):
+        return None
+    bits = np.empty(3, np.int64)
+    lib.residual_order_costs(
+        native._as_ptr(pcm), ctypes.c_int64(len(pcm)), native._as_ptr(bits)
+    )
+    return _ORDERS[int(np.argmin(bits))]
+
+
+def choose_order_numpy(pcm: np.ndarray) -> int:
+    """Cheapest fixed-predictor order by exact per-block signed widths."""
+    nb = len(pcm) // BLOCK
+    x = pcm[: nb * BLOCK].astype(np.int32).reshape(nb, BLOCK)
+    best_order, best_bits = 2, None
+    for order in _ORDERS:
+        r = np.diff(x, n=order, axis=1)
+        maxabs = np.abs(r).max(axis=1)
+        need = np.maximum(
+            2, np.ceil(np.log2(np.maximum(maxabs, 1) + 1)).astype(np.int64) + 1
+        )
+        bits = int((need * payload_len(order)).sum()) + 16 * order * nb
+        if best_bits is None or bits < best_bits:
+            best_order, best_bits = order, bits
+    return best_order
+
+
+def _native_pack(pcm: np.ndarray, order: int):
     from basic_pitch_tpu import native
 
     lib = native.load()
     if lib is None or not hasattr(lib, "pack_pcm16_residual"):
         return None
     nb = len(pcm) // BLOCK
-    cap = nb * words_per_block(KSET[0]) + 4
+    cap = nb * words_per_block(KSET[0], order) + 4
     words = np.empty(cap, np.uint32)
     idx = np.empty(nb, np.int32)
-    head2 = np.empty((nb, 2), np.int16)
+    heads = np.empty((nb, order), np.int16)
     counts = np.empty(len(KSET), np.int64)
     total = lib.pack_pcm16_residual(
         native._as_ptr(pcm),
         ctypes.c_int64(len(pcm)),
+        ctypes.c_int32(order),
         native._as_ptr(_kset_arr),
         ctypes.c_int32(len(KSET)),
         native._as_ptr(words),
         ctypes.c_int64(cap),
         native._as_ptr(idx),
-        native._as_ptr(head2),
+        native._as_ptr(heads),
         native._as_ptr(counts),
     )
     if total < 0:
         return None
-    return words, int(total), counts, idx, head2
+    return words, int(total), counts, idx, heads
 
 
-def pack_numpy(pcm: np.ndarray):
+def pack_numpy(pcm: np.ndarray, order: int = 2):
     """Pure-numpy reference packer (same wire format as the C++ one)."""
     nb = len(pcm) // BLOCK
+    pay = payload_len(order)
     x = pcm.astype(np.int32).reshape(nb, BLOCK)
-    r = x[:, 2:] - 2 * x[:, 1:-1] + x[:, :-2]
+    r = np.diff(x, n=order, axis=1)
     maxabs = np.abs(r).max(axis=1)
     need = np.maximum(2, np.ceil(np.log2(np.maximum(maxabs, 1) + 1)).astype(np.int64) + 1)
     ks = np.sort(_kset_arr)
@@ -127,10 +168,10 @@ def pack_numpy(pcm: np.ndarray):
     cls = np.asarray([order_of[int(c)] for c in cls_sorted], np.int64)
 
     counts = np.bincount(cls, minlength=len(KSET)).astype(np.int64)
-    total = int(sum(counts[j] * words_per_block(KSET[j]) for j in range(len(KSET))))
+    total = int(sum(counts[j] * words_per_block(KSET[j], order) for j in range(len(KSET))))
     words = np.zeros(total + 4, np.uint32)
     idx = np.empty(nb, np.int32)
-    head2 = np.ascontiguousarray(x[:, :2].astype(np.int16))
+    heads = np.ascontiguousarray(x[:, :order].astype(np.int16))
 
     word_off = row_off = 0
     words64 = np.zeros(total + 4, np.uint64)
@@ -138,10 +179,10 @@ def pack_numpy(pcm: np.ndarray):
         rows = np.nonzero(cls == j)[0]
         if len(rows) == 0:
             continue
-        wpb = words_per_block(k)
+        wpb = words_per_block(k, order)
         idx[row_off : row_off + len(rows)] = rows
         vals = (r[rows].astype(np.int64) & ((1 << k) - 1)).astype(np.uint64)
-        pos = np.arange(PAY, dtype=np.int64) * k
+        pos = np.arange(pay, dtype=np.int64) * k
         w = (pos >> 5) + word_off + np.arange(len(rows))[:, None] * wpb
         sh = (pos & 31).astype(np.uint64)
         v64 = vals << sh[None, :]
@@ -150,7 +191,7 @@ def pack_numpy(pcm: np.ndarray):
         word_off += len(rows) * wpb
         row_off += len(rows)
     words[:] = (words64 & 0xFFFFFFFF).astype(np.uint32)
-    return words, total, counts, idx, head2
+    return words, total, counts, idx, heads
 
 
 def _bucket(n: int) -> int:
@@ -160,10 +201,13 @@ def _bucket(n: int) -> int:
     return b
 
 
-def pack(pcm: np.ndarray) -> PackedPCM:
+def pack(pcm: np.ndarray, order: Optional[int] = None) -> PackedPCM:
     """int16 PCM -> PackedPCM (native packer when available, numpy otherwise).
 
-    Input length is padded up to a whole number of blocks with zeros.
+    Input length is padded up to a whole number of blocks with zeros. The
+    fixed-predictor order (1..3) is chosen per piece by exact payload cost
+    when not given — FLAC-style order selection, one order per piece so the
+    device integration program stays uniform.
     """
     assert pcm.dtype == np.int16 and pcm.ndim == 1
     n = len(pcm)
@@ -174,10 +218,15 @@ def pack(pcm: np.ndarray) -> PackedPCM:
         pcm = padded
     pcm = np.ascontiguousarray(pcm)
 
-    packed = _native_pack(pcm)
+    if order is None:
+        order = _native_choose_order(pcm)
+        if order is None:
+            order = choose_order_numpy(pcm)
+
+    packed = _native_pack(pcm, order)
     if packed is None:
-        packed = pack_numpy(pcm)
-    words, total, counts, idx, head2 = packed
+        packed = pack_numpy(pcm, order)
+    words, total, counts, idx, heads = packed
 
     groups: List[Tuple[int, int, int, np.ndarray]] = []
     word_off = row_off = 0
@@ -191,12 +240,12 @@ def pack(pcm: np.ndarray) -> PackedPCM:
             groups.append((k, word_off, rows, gidx))
             # dynamic_slice must not clamp: the buffer has to cover the
             # bucket-padded over-read of every group
-            needed = max(needed, word_off + bucket * words_per_block(k))
-        word_off += rows * words_per_block(k)
+            needed = max(needed, word_off + bucket * words_per_block(k, order))
+        word_off += rows * words_per_block(k, order)
         row_off += rows
     if needed > len(words):
         words = np.concatenate([words, np.zeros(needed - len(words), np.uint32)])
-    return PackedPCM(words[:needed], groups, head2, n, nb)
+    return PackedPCM(words[:needed], groups, heads, n, nb, order)
 
 
 # --------------------------------------------------------------------------
@@ -206,26 +255,27 @@ def pack(pcm: np.ndarray) -> PackedPCM:
 _jit_cache: Dict = {}
 
 
-def _init_fn(nb: int):
-    key = ("init", nb)
+def _init_fn(nb: int, order: int):
+    key = ("init", nb, order)
     if key not in _jit_cache:
-        _jit_cache[key] = jax.jit(lambda: jnp.zeros((nb + 1, PAY), jnp.int32))
+        pay = payload_len(order)
+        _jit_cache[key] = jax.jit(lambda: jnp.zeros((nb + 1, pay), jnp.int32))
     return _jit_cache[key]
 
 
-def _unpack_scatter_fn(k: int, rows_bucket: int):
+def _unpack_scatter_fn(k: int, rows_bucket: int, order: int):
     """(buf, words, word_off, idx) -> buf with this group's residual rows set.
 
     Dense unpack: every sample's word index / shift is static for a fixed k,
     so the stream decodes with column slices + shifts; `buf` is donated so
     the scatter updates in place across the group chain.
     """
-    key = ("unpack", k, rows_bucket)
+    key = ("unpack", k, rows_bucket, order)
     if key in _jit_cache:
         return _jit_cache[key]
 
-    wpb = words_per_block(k)
-    pos = np.arange(PAY) * k
+    wpb = words_per_block(k, order)
+    pos = np.arange(payload_len(order)) * k
     cols0 = (pos >> 5).astype(np.int32)
     cols1 = np.minimum(cols0 + 1, wpb - 1)
     shifts = jnp.asarray((pos & 31).astype(np.uint32))
@@ -247,19 +297,29 @@ def _unpack_scatter_fn(k: int, rows_bucket: int):
     return fn
 
 
-def _finish_fn(nb: int, n_out: int):
-    """(buf, head2) -> float32 samples: double integration + rescale."""
-    key = ("finish", nb, n_out)
+def _finish_fn(nb: int, n_out: int, order: int):
+    """(buf, heads) -> float32 samples: `order` integer cumsums + rescale."""
+    key = ("finish", nb, n_out, order)
     if key in _jit_cache:
         return _jit_cache[key]
 
-    def run(buf, head2):
+    def run(buf, heads):
         r = buf[:nb]
-        h = head2.astype(jnp.int32)
-        x0, x1 = h[:, 0], h[:, 1]
-        # r = Δ²x  =>  Δx = (x1-x0) + cumsum(r),  x = x1 + cumsum(Δx)
-        dx = (x1 - x0)[:, None] + jnp.cumsum(r, axis=1)
-        xs = x1[:, None] + jnp.cumsum(dx, axis=1)
+        h = heads.astype(jnp.int32)
+        if order == 1:
+            # r = Δx  =>  x = x0 + cumsum(r)
+            xs = h[:, 0][:, None] + jnp.cumsum(r, axis=1)
+        elif order == 2:
+            x0, x1 = h[:, 0], h[:, 1]
+            # r = Δ²x  =>  Δx = (x1-x0) + cumsum(r),  x = x1 + cumsum(Δx)
+            dx = (x1 - x0)[:, None] + jnp.cumsum(r, axis=1)
+            xs = x1[:, None] + jnp.cumsum(dx, axis=1)
+        else:
+            x0, x1, x2 = h[:, 0], h[:, 1], h[:, 2]
+            # r = Δ³x: three nested first differences
+            d2 = (x2 - 2 * x1 + x0)[:, None] + jnp.cumsum(r, axis=1)
+            dx = (x2 - x1)[:, None] + jnp.cumsum(d2, axis=1)
+            xs = x2[:, None] + jnp.cumsum(dx, axis=1)
         x = jnp.concatenate([h, xs], axis=1)
         return x.reshape(-1)[:n_out].astype(jnp.float32) * (1.0 / 32768.0)
 
@@ -278,12 +338,12 @@ def decode_to_device(packed: PackedPCM, n_out: Optional[int] = None) -> jax.Arra
     """
     n_out = packed.n_samples if n_out is None else n_out
     words = jax.device_put(packed.words)
-    head2 = jax.device_put(packed.head2)
-    buf = _init_fn(packed.nb)()
+    heads = jax.device_put(packed.heads)
+    buf = _init_fn(packed.nb, packed.order)()
     for k, word_off, n_rows, idx in packed.groups:
-        fn = _unpack_scatter_fn(k, len(idx))
+        fn = _unpack_scatter_fn(k, len(idx), packed.order)
         buf = fn(buf, words, jnp.int32(word_off), jax.device_put(idx))
-    return _finish_fn(packed.nb, n_out)(buf, head2)
+    return _finish_fn(packed.nb, n_out, packed.order)(buf, heads)
 
 
 def available() -> bool:

@@ -33,13 +33,16 @@ def test_roundtrip_bit_exact(name):
     np.testing.assert_array_equal(out, pcm.astype(np.float32) / 32768.0)
 
 
-def test_numpy_and_native_packers_agree():
+@pytest.mark.parametrize("order", [1, 2, 3])
+def test_numpy_and_native_packers_agree(order):
     if not pcmcodec.available():
         pytest.skip("native packer unavailable")
     for name, pcm in _signals().items():
         padded = np.pad(pcm, (0, (-len(pcm)) % pcmcodec.BLOCK))
-        w_n, t_n, c_n, i_n, h_n = pcmcodec._native_pack(np.ascontiguousarray(padded))
-        w_p, t_p, c_p, i_p, h_p = pcmcodec.pack_numpy(padded)
+        w_n, t_n, c_n, i_n, h_n = pcmcodec._native_pack(
+            np.ascontiguousarray(padded), order
+        )
+        w_p, t_p, c_p, i_p, h_p = pcmcodec.pack_numpy(padded, order)
         assert t_n == t_p, name
         np.testing.assert_array_equal(w_n[:t_n], w_p[:t_p], err_msg=name)
         np.testing.assert_array_equal(c_n, c_p, err_msg=name)
@@ -47,8 +50,28 @@ def test_numpy_and_native_packers_agree():
         np.testing.assert_array_equal(h_n, h_p, err_msg=name)
 
 
+@pytest.mark.parametrize("order", [1, 2, 3])
+def test_roundtrip_bit_exact_forced_order(order):
+    for name, pcm in _signals().items():
+        out = np.asarray(pcmcodec.decode_to_device(pcmcodec.pack(pcm, order)))
+        np.testing.assert_array_equal(
+            out, pcm.astype(np.float32) / 32768.0, err_msg=f"{name} order={order}"
+        )
+
+
+def test_order_choosers_agree():
+    if not pcmcodec.available():
+        pytest.skip("native packer unavailable")
+    for name, pcm in _signals().items():
+        padded = np.ascontiguousarray(np.pad(pcm, (0, (-len(pcm)) % pcmcodec.BLOCK)))
+        assert pcmcodec._native_choose_order(padded) == pcmcodec.choose_order_numpy(
+            padded
+        ), name
+
+
 def test_numpy_fallback_roundtrip(monkeypatch):
-    monkeypatch.setattr(pcmcodec, "_native_pack", lambda pcm: None)
+    monkeypatch.setattr(pcmcodec, "_native_pack", lambda pcm, order: None)
+    monkeypatch.setattr(pcmcodec, "_native_choose_order", lambda pcm: None)
     pcm = _signals()["mixed"]
     out = np.asarray(pcmcodec.encode_decode(pcm))
     np.testing.assert_array_equal(out, pcm.astype(np.float32) / 32768.0)
