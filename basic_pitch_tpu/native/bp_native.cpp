@@ -255,6 +255,23 @@ int64_t pack_pcm16_residual(const int16_t* x, int64_t n, int32_t order,
         for (int32_t h = 0; h < order; ++h) heads[order * b + h] = blk[h];
     }
 
+    // merge sparse groups into the next-wider populated width: every
+    // (width, row-bucket) pair is a distinct device executable, so tiny
+    // groups multiply compile variants for ~zero byte savings. kset is
+    // descending, so scanning j upward from the narrow end reassigns each
+    // sparse group to the nearest wider width. (A wider width can always
+    // hold a narrower group's residuals.)
+    const int64_t kMergeMin = 64;
+    for (int32_t j = n_k - 1; j > 0; --j) {
+        if (counts[j] > 0 && counts[j] < kMergeMin) {
+            int32_t dst = j - 1;  // next wider width in the ladder
+            for (int64_t b = 0; b < nb; ++b)
+                if (cls[b] == (unsigned char)j) cls[b] = (unsigned char)dst;
+            counts[dst] += counts[j];
+            counts[j] = 0;
+        }
+    }
+
     // stream layout: kset order, 32-bit-aligned rows
     int64_t word_off[64], row_off[64], total = 0, rows = 0;
     for (int32_t j = 0; j < n_k; ++j) {

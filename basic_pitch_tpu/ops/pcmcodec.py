@@ -58,6 +58,7 @@ BLOCK = 256
 # residual histogram spans.
 KSET: Tuple[int, ...] = tuple(range(19, 1, -1))
 _MIN_BUCKET = 8
+_MERGE_MIN_ROWS = 64  # groups below this merge into the next wider width
 _ORDERS = (1, 2, 3)  # FLAC-style fixed-predictor orders; best chosen per piece
 
 
@@ -168,6 +169,14 @@ def pack_numpy(pcm: np.ndarray, order: int = 2):
     cls = np.asarray([order_of[int(c)] for c in cls_sorted], np.int64)
 
     counts = np.bincount(cls, minlength=len(KSET)).astype(np.int64)
+    # merge sparse groups into the next-wider populated width (mirrors the
+    # C++ packer): tiny groups multiply device-executable variants for ~zero
+    # byte savings. KSET is descending, so j-1 is the next wider width.
+    for j in range(len(KSET) - 1, 0, -1):
+        if 0 < counts[j] < _MERGE_MIN_ROWS:
+            cls[cls == j] = j - 1
+            counts[j - 1] += counts[j]
+            counts[j] = 0
     total = int(sum(counts[j] * words_per_block(KSET[j], order) for j in range(len(KSET))))
     words = np.zeros(total + 4, np.uint32)
     idx = np.empty(nb, np.int32)
