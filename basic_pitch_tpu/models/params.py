@@ -13,7 +13,6 @@ from __future__ import annotations
 import pathlib
 from typing import Any, Dict, Union
 
-import jax.numpy as jnp
 import numpy as np
 
 Params = Dict[str, Any]
@@ -35,6 +34,10 @@ def flatten_params(params: Params, prefix: str = "") -> Dict[str, np.ndarray]:
 
 
 def unflatten_params(flat: Dict[str, np.ndarray]) -> Params:
+    # deferred so importing this module (e.g. for the CLI's --help default
+    # checkpoint path) never initializes jax
+    import jax.numpy as jnp
+
     tree: Params = {}
     for path, value in flat.items():
         parts = path.split("/")

@@ -36,6 +36,30 @@ def test_predict_parser_flags():
     assert args.save_midi is True
 
 
+def test_cli_help_smoke():
+    """`--help` on every CLI must exit 0 and print usage — the reference
+    CI's installed-CLI smoke check (tox.yml:52-53). The import chain stays
+    jax-free by design (models/params defers its jax import), though this
+    box pre-imports jax at interpreter startup so that is asserted in-proc."""
+    import importlib
+    import subprocess
+
+    # the CLI modules themselves must not pull jax in (checked in-process
+    # by importing them fresh under a tracer is unreliable here because the
+    # interpreter pre-imports jax; instead assert the known-lazy modules)
+    import basic_pitch_tpu.models.params as params_mod
+
+    assert "jax" not in params_mod.__dict__, "params must defer its jax import"
+
+    for mod in ("basic_pitch_tpu.cli.predict", "basic_pitch_tpu.cli.train",
+                "basic_pitch_tpu.cli.download"):
+        proc = subprocess.run(
+            [sys.executable, "-m", mod, "--help"], capture_output=True, timeout=60
+        )
+        assert proc.returncode == 0, (mod, proc.stderr.decode()[-500:])
+        assert b"usage" in proc.stdout.lower()
+
+
 def test_predict_cli_end_to_end(tmp_path, monkeypatch):
     if not VOCADITO.exists():
         pytest.skip("test clip unavailable")
