@@ -255,16 +255,20 @@ int64_t pack_pcm16_residual(const int16_t* x, int64_t n, int32_t order,
         for (int32_t h = 0; h < order; ++h) heads[order * b + h] = blk[h];
     }
 
-    // merge sparse groups into the next-wider populated width: every
+    // merge sparse groups into the nearest wider POPULATED width: every
     // (width, row-bucket) pair is a distinct device executable, so tiny
     // groups multiply compile variants for ~zero byte savings. kset is
-    // descending, so scanning j upward from the narrow end reassigns each
-    // sparse group to the nearest wider width. (A wider width can always
-    // hold a narrower group's residuals.)
+    // descending, so smaller j = wider. Merging only into widths real
+    // content already uses bounds the byte cost: a short piece whose groups
+    // are ALL sparse keeps its widest populated group rather than
+    // cascading to kset[0] (which would EXPAND 4-bit content to 19 bits).
     const int64_t kMergeMin = 64;
     for (int32_t j = n_k - 1; j > 0; --j) {
         if (counts[j] > 0 && counts[j] < kMergeMin) {
-            int32_t dst = j - 1;  // next wider width in the ladder
+            int32_t dst = -1;
+            for (int32_t p = j - 1; p >= 0; --p)
+                if (counts[p] > 0) { dst = p; break; }
+            if (dst < 0) continue;  // widest populated group: keep as-is
             for (int64_t b = 0; b < nb; ++b)
                 if (cls[b] == (unsigned char)j) cls[b] = (unsigned char)dst;
             counts[dst] += counts[j];

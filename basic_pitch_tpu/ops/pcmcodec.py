@@ -23,9 +23,9 @@ numpy reference `pack_numpy` here):
   can unpack each group DENSELY — static column slices and shifts, no
   per-element gather (a gathered variant measured 6x slower on TPU).
 - `idx` maps stream rows back to block positions; the unpack programs
-  scatter each group's rows into a donated (nb+1, 254) buffer (row `nb`
-  absorbs padding rows), and a final program integrates twice
-  (two int32 cumsums — exact) and rescales to float32.
+  scatter each group's rows into a donated (nb+1, 256-order) buffer (row
+  `nb` absorbs padding rows), and a final program integrates `order` times
+  (int32 cumsums — exact) and rescales to float32.
 
 Shape discipline (jit cache): row counts per group vary with content, so
 each group is padded to a power-of-two row bucket. Padding rows cost no
@@ -67,7 +67,7 @@ def payload_len(order: int) -> int:
     return BLOCK - order
 
 
-def words_per_block(k: int, order: int = 2) -> int:
+def words_per_block(k: int, order: int) -> int:
     return (payload_len(order) * k + 31) // 32
 
 
@@ -169,13 +169,18 @@ def pack_numpy(pcm: np.ndarray, order: int = 2):
     cls = np.asarray([order_of[int(c)] for c in cls_sorted], np.int64)
 
     counts = np.bincount(cls, minlength=len(KSET)).astype(np.int64)
-    # merge sparse groups into the next-wider populated width (mirrors the
-    # C++ packer): tiny groups multiply device-executable variants for ~zero
-    # byte savings. KSET is descending, so j-1 is the next wider width.
+    # merge sparse groups into the nearest wider POPULATED width (mirrors
+    # the C++ packer): tiny groups multiply device-executable variants for
+    # ~zero byte savings, but merging only into widths real content already
+    # uses keeps short all-sparse pieces from cascading to the widest k.
     for j in range(len(KSET) - 1, 0, -1):
         if 0 < counts[j] < _MERGE_MIN_ROWS:
-            cls[cls == j] = j - 1
-            counts[j - 1] += counts[j]
+            populated = np.nonzero(counts[:j] > 0)[0]
+            if len(populated) == 0:
+                continue  # widest populated group: keep as-is
+            dst = int(populated[-1])
+            cls[cls == j] = dst
+            counts[dst] += counts[j]
             counts[j] = 0
     total = int(sum(counts[j] * words_per_block(KSET[j], order) for j in range(len(KSET))))
     words = np.zeros(total + 4, np.uint32)
@@ -219,6 +224,8 @@ def pack(pcm: np.ndarray, order: Optional[int] = None) -> PackedPCM:
     device integration program stays uniform.
     """
     assert pcm.dtype == np.int16 and pcm.ndim == 1
+    if order is not None and order not in _ORDERS:
+        raise ValueError(f"order must be one of {_ORDERS}, got {order}")
     n = len(pcm)
     nb = -(-n // BLOCK)
     if nb * BLOCK != n:

@@ -427,7 +427,11 @@ class StreamingTranscriber:
         raw_outs = []
         for piece in self._pieces(audio, is_44k, n_chunks):
             if use_codec:
-                dev_piece = pcmcodec.decode_to_device(pcmcodec.pack(piece), len(piece))
+                packed = pcmcodec.pack(piece)
+                if packed.packed_bytes < piece.nbytes:
+                    dev_piece = pcmcodec.decode_to_device(packed, len(piece))
+                else:  # incompressible content: raw int16 is strictly cheaper
+                    dev_piece = jax.device_put(piece)
             else:
                 dev_piece = jax.device_put(piece)
             raw_outs.append(piece_fn(self.params, dev_piece))

@@ -41,7 +41,6 @@ def test_cli_help_smoke():
     CI's installed-CLI smoke check (tox.yml:52-53). The import chain stays
     jax-free by design (models/params defers its jax import), though this
     box pre-imports jax at interpreter startup so that is asserted in-proc."""
-    import importlib
     import subprocess
 
     # the CLI modules themselves must not pull jax in (checked in-process

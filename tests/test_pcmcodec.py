@@ -69,6 +69,23 @@ def test_order_choosers_agree():
         ), name
 
 
+def test_short_sparse_piece_does_not_expand():
+    """Regression: the sparse-group merge must not cascade an all-sparse
+    short piece to the widest ladder width — a 0.5 s quiet clip has to
+    pack SMALLER than raw int16, not 19 bits/sample."""
+    t = np.arange(12000) / 22050.0
+    pcm = (np.sin(2 * np.pi * 220.0 * t) * 500).astype(np.int16)  # ~quiet tone
+    packed = pcmcodec.pack(pcm)
+    assert packed.packed_bytes < pcm.nbytes, (packed.packed_bytes, pcm.nbytes)
+    out = np.asarray(pcmcodec.decode_to_device(packed))
+    np.testing.assert_array_equal(out, pcm.astype(np.float32) / 32768.0)
+
+
+def test_pack_rejects_bad_order():
+    with pytest.raises(ValueError, match="order"):
+        pcmcodec.pack(np.zeros(512, np.int16), order=4)
+
+
 def test_numpy_fallback_roundtrip(monkeypatch):
     monkeypatch.setattr(pcmcodec, "_native_pack", lambda pcm, order: None)
     monkeypatch.setattr(pcmcodec, "_native_choose_order", lambda pcm: None)
