@@ -109,17 +109,21 @@ def _native_choose_order(pcm: np.ndarray) -> Optional[int]:
     return _ORDERS[int(np.argmin(bits))]
 
 
+def _signed_widths(residuals: np.ndarray) -> np.ndarray:
+    """Per-block minimal signed two's-complement width (min 2 bits)."""
+    maxabs = np.abs(residuals).max(axis=1)
+    return np.maximum(
+        2, np.ceil(np.log2(np.maximum(maxabs, 1) + 1)).astype(np.int64) + 1
+    )
+
+
 def choose_order_numpy(pcm: np.ndarray) -> int:
     """Cheapest fixed-predictor order by exact per-block signed widths."""
     nb = len(pcm) // BLOCK
     x = pcm[: nb * BLOCK].astype(np.int32).reshape(nb, BLOCK)
     best_order, best_bits = 2, None
     for order in _ORDERS:
-        r = np.diff(x, n=order, axis=1)
-        maxabs = np.abs(r).max(axis=1)
-        need = np.maximum(
-            2, np.ceil(np.log2(np.maximum(maxabs, 1) + 1)).astype(np.int64) + 1
-        )
+        need = _signed_widths(np.diff(x, n=order, axis=1))
         bits = int((need * payload_len(order)).sum()) + 16 * order * nb
         if best_bits is None or bits < best_bits:
             best_order, best_bits = order, bits
@@ -155,14 +159,13 @@ def _native_pack(pcm: np.ndarray, order: int):
     return words, int(total), counts, idx, heads
 
 
-def pack_numpy(pcm: np.ndarray, order: int = 2):
+def pack_numpy(pcm: np.ndarray, order: int):
     """Pure-numpy reference packer (same wire format as the C++ one)."""
     nb = len(pcm) // BLOCK
     pay = payload_len(order)
     x = pcm.astype(np.int32).reshape(nb, BLOCK)
     r = np.diff(x, n=order, axis=1)
-    maxabs = np.abs(r).max(axis=1)
-    need = np.maximum(2, np.ceil(np.log2(np.maximum(maxabs, 1) + 1)).astype(np.int64) + 1)
+    need = _signed_widths(r)
     ks = np.sort(_kset_arr)
     cls_sorted = ks[np.searchsorted(ks, need)]  # smallest KSET width >= need
     order_of = {k: j for j, k in enumerate(KSET)}
