@@ -25,6 +25,7 @@ the (trivial) collectives. One chunk then spans W windows across all chips.
 
 from __future__ import annotations
 
+import concurrent.futures
 from typing import Dict, Optional, Union
 
 import jax
@@ -102,6 +103,8 @@ class StreamingTranscriber:
         self._chunk_fn_22k = self._build(chunk_is_44k=False)
         self._chunk_fn_44k = self._build(chunk_is_44k=True)
         self._piece_cache = {}
+        # worker threads for the GIL-releasing C++ packer (see _dispatch)
+        self._pack_pool = concurrent.futures.ThreadPoolExecutor(max_workers=2)
         self._decode_cache = {}
 
     # ------------------------------------------------------------------
@@ -424,10 +427,18 @@ class StreamingTranscriber:
         use_codec = (
             audio.dtype == np.int16 and self.mesh is None and pcmcodec.available()
         )
+        pieces = list(self._pieces(audio, is_44k, n_chunks))
+        if use_codec:
+            # pack on worker threads (the C++ packer releases the GIL): piece
+            # c+1 packs while piece c's upload/compute is being enqueued, so
+            # host-side packing stays off the dispatch critical path
+            packed_futures = [
+                self._pack_pool.submit(pcmcodec.pack, piece) for piece in pieces
+            ]
         raw_outs = []
-        for piece in self._pieces(audio, is_44k, n_chunks):
+        for i, piece in enumerate(pieces):
             if use_codec:
-                packed = pcmcodec.pack(piece)
+                packed = packed_futures[i].result()
                 if packed.packed_bytes < piece.nbytes:
                     dev_piece = pcmcodec.decode_to_device(packed, len(piece))
                 else:  # incompressible content: raw int16 is strictly cheaper
