@@ -42,6 +42,8 @@ DEFAULT_ONSET_THRESHOLD = 0.5
 DEFAULT_FRAME_THRESHOLD = 0.3
 DEFAULT_MINIMUM_NOTE_LENGTH_MS = 127.7
 DEFAULT_MIDI_TEMPO = 120
+# reference name for the same constant (`inference.py:188`)
+DEFAULT_MINIMUM_MIDI_TEMPO = DEFAULT_MIDI_TEMPO
 DEFAULT_SONIFICATION_SAMPLERATE = 44100
 DEFAULT_OVERLAPPING_FRAMES = constants.N_OVERLAPPING_FRAMES
 DEFAULT_MIDI_VELOCITY_SCALE = 127

@@ -146,3 +146,35 @@ def test_zero_velocity_notes_dropped():
     all_notes = [n for inst in midi.instruments for n in inst.notes]
     assert len(all_notes) == 1
     assert all_notes[0].pitch == 62
+
+
+def test_reference_named_aliases():
+    """Code ported from the reference calls these exact names; they must
+    produce the same events as the canonically named functions."""
+    import numpy as np
+
+    from basic_pitch_tpu.decode import notes as notes_mod
+    from basic_pitch_tpu import inference
+
+    rng = np.random.RandomState(5)
+    frames = (rng.rand(120, 88) ** 3).astype(np.float32)
+    onsets = (rng.rand(120, 88) ** 5).astype(np.float32)
+    ref_sig = notes_mod.output_to_notes_polyphonic(
+        frames, onsets, 0.5, 0.3, 5, True, None, None
+    )
+    canonical = notes_mod.decode_note_events(
+        frames, onsets, notes_mod.DecodeConfig(min_note_length=5)
+    )
+    assert ref_sig == canonical
+    assert len(canonical) > 0
+
+    onsets2 = notes_mod.get_infered_onsets(onsets, frames)
+    np.testing.assert_array_equal(
+        onsets2, notes_mod.infer_onsets_from_frames(onsets, frames)
+    )
+
+    contours = (rng.rand(120, 264) ** 2).astype(np.float32)
+    assert notes_mod.get_pitch_bends(contours, canonical) == notes_mod.extract_pitch_bends(
+        contours, canonical
+    )
+    assert inference.DEFAULT_MINIMUM_MIDI_TEMPO == inference.DEFAULT_MIDI_TEMPO
