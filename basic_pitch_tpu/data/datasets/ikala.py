@@ -121,7 +121,10 @@ def main(args: argparse.Namespace) -> None:
     builder = IkalaBuilder(args.source)
     pipeline.run(
         DATASET_NAME,
-        builder.input_data(args.train_percent + args.validation_percent, args.split_seed),
+        # reference semantics (`ikala.py:151,172`): only train_percent is
+        # consulted — everything past the cut is validation (iKala has no
+        # test split, so --validation-percent is implied by the remainder)
+        builder.input_data(args.train_percent, args.split_seed),
         builder.to_examples,
         builder.filter_invalid,
         args.destination,

@@ -46,7 +46,7 @@ class SlakhBuilder:
                 continue
             with open(meta_path) as fh:
                 metadata = yaml.safe_load(fh) or {}
-            split = _split_of(track_dir)
+            split = _split_of(track_dir.relative_to(self.source))
             for stem_name, stem_meta in (metadata.get("stems") or {}).items():
                 track_id = f"{track_dir.name}-{stem_name}"
                 tracks[track_id] = {
@@ -84,9 +84,10 @@ class SlakhBuilder:
             return f"cannot decode {audio.suffix} without ffmpeg"
         if not midi.exists():
             return "missing midi"
-        notes = _stem_notes(midi)
-        if not notes:
-            return "no notes"
+        # note-emptiness is NOT checked here: it needs a full SMF parse, and
+        # the filter runs serially in the parent process for every stem —
+        # to_examples (parallel, and parsing the MIDI anyway) skips empty
+        # stems, so deferring keeps the pool effective on 20k+ stem corpora
         return None
 
     def to_examples(self, track_ids: List[str]) -> List[bytes]:
@@ -119,6 +120,9 @@ class SlakhBuilder:
 
 
 def _split_of(track_dir: pathlib.Path) -> str:
+    """Split from the track path RELATIVE to the corpus root — an absolute
+    path could match a split name in an ancestor directory of the corpus
+    (e.g. source=/data/test/slakh2100 classifying everything as test)."""
     for part in track_dir.parts:
         if part in SPLIT_DIRS:
             return SPLIT_DIRS[part]

@@ -242,7 +242,11 @@ def _collate(items: List[Dict]) -> Batch:
 
 
 def _prefetch(iterator: Iterator[Batch], depth: int = 2) -> Iterator[Batch]:
-    """Background-thread prefetching (the AUTOTUNE analogue)."""
+    """Background-thread prefetching (the AUTOTUNE analogue).
+
+    Worker exceptions re-raise in the consumer — a bad source path or a
+    corrupt record must surface as its real error, not as a silent
+    end-of-stream."""
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     sentinel = object()
 
@@ -250,14 +254,17 @@ def _prefetch(iterator: Iterator[Batch], depth: int = 2) -> Iterator[Batch]:
         try:
             for item in iterator:
                 q.put(item)
-        finally:
             q.put(sentinel)
+        except BaseException as exc:  # noqa: BLE001 — re-raised in consumer
+            q.put(exc)
 
     threading.Thread(target=worker, daemon=True).start()
     while True:
         item = q.get()
         if item is sentinel:
             return
+        if isinstance(item, BaseException):
+            raise item
         yield item
 
 

@@ -67,10 +67,13 @@ def write_split(
 ) -> int:
     destination.mkdir(parents=True, exist_ok=True)
     batches = _batched(list(track_ids), batch_size)
+    # stream results: each batch holds full WAV bytes, so materializing every
+    # shard of a large split at once (pool.map / list comprehension) costs
+    # tens of GB on MAESTRO-sized corpora; imap keeps one window in flight
     if pool is not None:
-        results = pool.map(to_examples, batches)
+        results = pool.imap(to_examples, batches)
     else:
-        results = [to_examples(batch) for batch in batches]
+        results = (to_examples(batch) for batch in batches)
     written = 0
     for i, records in enumerate(results):
         if not records:

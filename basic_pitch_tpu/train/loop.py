@@ -126,15 +126,6 @@ class EarlyStopping:
         self.wait = int(state["wait"])
 
 
-class TrainState:
-    """params + optimizer state + a mutable LR scale."""
-
-    def __init__(self, params, opt_state, lr_scale: float = 1.0):
-        self.params = params
-        self.opt_state = opt_state
-        self.lr_scale = lr_scale
-
-
 def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
     # inject_hyperparams exposes the LR for plateau reduction
     return optax.inject_hyperparams(optax.adam)(learning_rate=config.learning_rate)

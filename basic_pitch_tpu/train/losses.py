@@ -84,6 +84,12 @@ def total_loss(
     for head in heads:
         y_true, y_pred = targets[head], outputs[head]
         if head == "onset" and weighted_onset:
+            # NOTE deliberate parity quirk: the reference's weighted loss
+            # pools ALL cells across the batch (boolean_mask flattens it,
+            # models.py:71-97), so weight-0 examples still contribute to the
+            # pooled means and Keras' sample-weight application degenerates
+            # to scalar * mean(weights). Reproduced exactly; masking weight-0
+            # examples out would diverge from reference training behavior.
             head_loss = weighted_transcription_loss(
                 y_true, y_pred, label_smoothing, positive_weight
             )

@@ -73,13 +73,10 @@ class VisualizeCallback:
 
             from basic_pitch_tpu.utils import audio as audio_io
 
+            # reuse our own PCM16 WAV encoder (write_wav takes any file-like)
             buf = io.BytesIO()
-            # reuse our own PCM16 WAV encoder
-            import tempfile
-
-            with tempfile.NamedTemporaryFile(suffix=".wav") as tmp:
-                audio_io.write_wav(tmp.name, np.asarray(samples, np.float32), sample_rate)
-                encoded = open(tmp.name, "rb").read()
+            audio_io.write_wav(buf, np.asarray(samples, np.float32), sample_rate)
+            encoded = buf.getvalue()
             audio = Summary.Audio(
                 sample_rate=sample_rate,
                 num_channels=1,

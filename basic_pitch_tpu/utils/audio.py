@@ -101,8 +101,10 @@ def raw_to_np(data: bytes, dtype: type) -> np.ndarray:
     return np.frombuffer(data[:usable], dtype=dtype)
 
 
-def write_wav(path: PathLike, samples: np.ndarray, sample_rate: int) -> None:
-    """Write float samples (clipped to [-1, 1]) as 16-bit PCM."""
+def write_wav(path, samples: np.ndarray, sample_rate: int) -> None:
+    """Write float samples (clipped to [-1, 1]) as 16-bit PCM.
+
+    ``path`` may be a filesystem path or any binary file-like object."""
     x = np.asarray(samples)
     if x.ndim == 1:
         x = x[:, None]
@@ -111,7 +113,13 @@ def write_wav(path: PathLike, samples: np.ndarray, sample_rate: int) -> None:
     n_channels = x.shape[1]
     byte_rate = sample_rate * n_channels * 2
     block_align = n_channels * 2
-    with open(path, "wb") as fh:
+    import contextlib
+
+    if hasattr(path, "write"):
+        ctx = contextlib.nullcontext(path)
+    else:
+        ctx = open(path, "wb")
+    with ctx as fh:
         fh.write(_RIFF)
         fh.write(struct.pack("<I", 36 + len(payload)))
         fh.write(_WAVE)
@@ -129,14 +137,20 @@ def read_wav_mono(path: PathLike) -> Tuple[np.ndarray, int]:
         raw = fh.read()
     header = _parse_wav_header(raw)
     if header is not None:
-        from basic_pitch_tpu import native
-
         audio_format, n_channels, sample_rate, bits, payload = header
-        decoded = native.decode_pcm_mono(
-            payload, bits, audio_format == WAVE_FORMAT_IEEE_FLOAT, n_channels
-        )
-        if decoded is not None:
-            return decoded, sample_rate
+        # only hand the native decoder formats it actually implements;
+        # anything else (compressed tags, zero channels) must go through
+        # the validating pure decoder so it raises WavFormatError (which
+        # load_audio turns into the ffmpeg fallback) instead of returning
+        # garbage interpreted as raw PCM
+        if n_channels >= 1 and audio_format in (WAVE_FORMAT_PCM, WAVE_FORMAT_IEEE_FLOAT):
+            from basic_pitch_tpu import native
+
+            decoded = native.decode_pcm_mono(
+                payload, bits, audio_format == WAVE_FORMAT_IEEE_FLOAT, n_channels
+            )
+            if decoded is not None:
+                return decoded, sample_rate
     samples, sample_rate = read_wav_bytes(raw, name=str(path))
     return to_mono(samples), sample_rate
 
@@ -179,7 +193,7 @@ def _parse_wav_header(raw: bytes):
         elif chunk_id == _DATA:
             data = body
         pos += 8 + chunk_size + (chunk_size & 1)
-    if fmt is None or data is None:
+    if fmt is None or data is None or len(fmt) < 16:
         return None
     audio_format, n_channels, sample_rate, _, _, bits = struct.unpack_from("<HHIIHH", fmt, 0)
     if audio_format == WAVE_FORMAT_EXTENSIBLE and len(fmt) >= 26:

@@ -262,3 +262,45 @@ def test_built_dataset_feeds_loader(tmp_path):
     assert item["audio"].shape == (constants.AUDIO_N_SAMPLES,)
     assert item["weights"]["note"] == 1.0
     assert item["targets"]["note"].sum() > 0
+
+
+def test_slakh_split_ignores_source_prefix(tmp_path):
+    """A corpus rooted under a directory named like a split (e.g.
+    /data/test/slakh) must classify tracks by their IN-CORPUS split dir."""
+    root = tmp_path / "test" / "slakh2100"
+    for split, track in (("train", "Track00001"), ("validation", "Track00002")):
+        d = root / split / track
+        d.mkdir(parents=True)
+        (d / "metadata.yaml").write_text("stems:\n  S00:\n    is_drum: false\n")
+    builder = slakh.SlakhBuilder(str(root))
+    splits = dict(builder.input_data())
+    assert splits["Track00001-S00"] == "train"
+    assert splits["Track00002-S00"] == "validation"
+
+
+def test_ikala_split_honors_train_percent(tmp_path):
+    """Reference semantics: train_percent tracks -> train, remainder ->
+    validation (ikala.py:151); --validation-percent must not inflate train."""
+    wav_dir = tmp_path / "Wavfile"
+    wav_dir.mkdir()
+    for i in range(10):
+        (wav_dir / f"{10000+i}_track.wav").write_bytes(b"")
+    builder = ikala.IkalaBuilder(str(tmp_path))
+    data = builder.input_data(0.6, seed=0)
+    counts = {}
+    for _, split in data:
+        counts[split] = counts.get(split, 0) + 1
+    assert counts == {"train": 6, "validation": 4}
+
+
+def test_prefetch_reraises_worker_errors():
+    from basic_pitch_tpu.data import loader
+
+    def bad_iter():
+        yield "ok"
+        raise IOError("corrupt record")
+
+    out = loader._prefetch(bad_iter())
+    assert next(out) == "ok"
+    with pytest.raises(IOError, match="corrupt record"):
+        next(out)
