@@ -246,6 +246,28 @@ def test_windowed_long_note_fallback():
     )
 
 
+def test_windowed_garbage_beyond_valid_frames_ignored():
+    """Same valid_frames guard, windowed regime (T > SCAN_WINDOW)."""
+    rng = np.random.RandomState(500)
+    n_frames = dev.SCAN_WINDOW + 300
+    frames, onsets = _random_posteriorgrams(rng, n_frames, density=0.01)
+    config = host.DecodeConfig(min_note_length=5)
+    pad = 200
+    fp = np.pad(frames, ((0, pad), (0, 0)))
+    op = np.pad(onsets, ((0, pad), (0, 0)))
+    fp[n_frames:] = 0.95
+    op[n_frames:] = 0.9
+    decoded = jax.jit(
+        dev.decode, static_argnames=("max_notes", "max_melodia_iters")
+    )(
+        jnp.asarray(fp), jnp.asarray(op),
+        config.onset_threshold, config.frame_threshold, config.min_note_length,
+        valid_frames=n_frames, max_notes=2048, max_melodia_iters=8192,
+    )
+    device_ev = [(s, e, p, a) for s, e, p, a, _ in dev.notes_to_events(decoded, None)]
+    _assert_same(_host_events(frames, onsets, config), device_ev)
+
+
 def test_windowed_padded_equivalence():
     rng = np.random.RandomState(300)
     n_frames = dev.SCAN_WINDOW + 500

@@ -117,3 +117,21 @@ def test_distinct_channels_for_concurrent_bending_instruments(tmp_path):
         channels.append(chans.pop())
     assert 9 not in channels
     assert len(set(channels)) == len(channels) == 12
+
+
+def test_sonify_salience_saved_wav_not_clipped(tmp_path):
+    """Regression companion to the resample gain fix: the saved 44.1 kHz
+    render (3000 -> 44100, up=147) must stay in [-1, 1], not clip at 147x."""
+    import numpy as np
+
+    from basic_pitch_tpu.decode import export
+    from basic_pitch_tpu.utils import audio as audio_io
+
+    gram = np.zeros((88, 50), np.float32)
+    gram[40, :] = 0.9
+    path = tmp_path / "salience.wav"
+    y, fs = export.sonify_salience(gram, 1, save_path=str(path))
+    assert fs == export.SONIFY_FS and np.abs(y).max() <= 0.81
+    saved, sr = audio_io.read_wav(path)
+    assert sr == 44100
+    assert np.abs(saved).max() < 1.0  # clipped output would pin at +/-1.0
