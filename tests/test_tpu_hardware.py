@@ -1,0 +1,75 @@
+"""Real-hardware checks, run only with RUN_TPU_TESTS=1 (conftest skips
+them otherwise and pins the suite to CPU).
+
+These re-assert the CPU-verified contracts on an actual TPU backend: the
+golden end-to-end events, the Pallas decode kernel's exactness against the
+XLA decoder (compiled, not interpret mode), and the PCM codec round trip
+through real device programs.
+"""
+
+import pathlib
+
+import numpy as np
+import pytest
+
+VOCADITO = pathlib.Path("/root/reference/tests/resources/vocadito_10.wav")
+
+pytestmark = pytest.mark.tpu
+
+
+def _require_tpu():
+    import jax
+
+    if jax.devices()[0].platform == "cpu":
+        pytest.skip("no TPU backend available")
+
+
+def test_golden_events_on_hardware():
+    _require_tpu()
+    if not VOCADITO.exists():
+        pytest.skip("test clip unavailable")
+    from basic_pitch_tpu import pipeline
+    from basic_pitch_tpu.utils import audio as audio_io
+
+    samples, sr = audio_io.read_wav(str(VOCADITO))
+    tr = pipeline.StreamingTranscriber(windows_per_chunk=32)
+    events = tr.transcribe(audio_io.to_mono(samples), sr)
+    assert len(events) == 28  # the reference's golden event count
+
+
+def test_pallas_decoder_exact_on_hardware():
+    _require_tpu()
+    import jax
+    import jax.numpy as jnp
+
+    from basic_pitch_tpu.decode import device as device_decode
+    from basic_pitch_tpu.decode import pallas_kernel
+
+    rng = np.random.RandomState(0)
+    frames = (rng.rand(300, 88) ** 3).astype(np.float32)
+    onsets = (rng.rand(300, 88) ** 5).astype(np.float32)
+    ref = jax.jit(
+        lambda f, o: device_decode.decode(f, o, 0.5, 0.3, 5, max_notes=2048)
+    )(frames, onsets)
+    out = pallas_kernel.decode_pallas(
+        jnp.asarray(frames), jnp.asarray(onsets), 0.5, 0.3, 5, max_notes=2048
+    )
+    n = int(ref.n_notes)
+    assert n == int(out.n_notes) and n > 100
+    for field in ("starts", "ends", "pitches"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(ref, field)[:n]), np.asarray(getattr(out, field)[:n])
+        )
+    np.testing.assert_allclose(
+        np.asarray(ref.amplitudes[:n]), np.asarray(out.amplitudes[:n]), atol=2e-6
+    )
+
+
+def test_pcm_codec_roundtrip_on_hardware():
+    _require_tpu()
+    from basic_pitch_tpu.ops import pcmcodec
+
+    rng = np.random.RandomState(1)
+    pcm = (rng.randn(100_000) * 3000).clip(-32768, 32767).astype(np.int16)
+    out = np.asarray(pcmcodec.encode_decode(pcm))
+    np.testing.assert_array_equal(out, pcm.astype(np.float32) / 32768.0)
