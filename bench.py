@@ -89,6 +89,12 @@ def main() -> None:
     pcm = np.clip(np.round(y * 32768.0), -32768, 32767).astype(np.int16)
     recordings.append((pcm, 22050))
 
+    # single-stream workload: one long recording (20 min) so the metric
+    # reflects steady-state streaming, not per-dispatch fixed costs
+    single_seconds = 1200.0
+    y = synth_audio(single_seconds, seed=7)
+    single_pcm = np.clip(np.round(y * 32768.0), -32768, 32767).astype(np.int16)
+
     transcriber = pipeline.StreamingTranscriber(windows_per_chunk=192)
 
     # warmup: compile chunk + decode executables at the bench shapes
@@ -97,6 +103,7 @@ def main() -> None:
         transcriber.transcribe(recordings[0][0], 22050)
     except Exception:
         transcriber.transcribe(recordings[0][0], 22050)
+    transcriber.transcribe(single_pcm, 22050)
 
     # best-of-N: tunnel throughput varies ~2-3x minute-to-minute
     # (DESIGN.md §5); interleaving the two modes spreads each metric's
@@ -114,8 +121,8 @@ def main() -> None:
             events = results
 
             t0 = time.time()
-            transcriber.transcribe(recordings[0][0], 22050)
-            single = max(single, seconds_per_file / (time.time() - t0))
+            transcriber.transcribe(single_pcm, 22050)
+            single = max(single, single_seconds / (time.time() - t0))
         except Exception as err:  # noqa: BLE001 — transient PJRT/tunnel errors
             failures += 1
             import sys, traceback
@@ -137,6 +144,7 @@ def main() -> None:
                     "audio_seconds": audio_seconds,
                     "note_events": sum(len(e) for e in events),
                     "single_stream_x_realtime": round(single, 1),
+                    "single_stream_file_s": single_seconds,
                     "pipeline": "22.05kHz PCM16 -> device window+CQT+model+decode -> events",
                 },
             }
