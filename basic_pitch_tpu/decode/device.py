@@ -227,6 +227,44 @@ def preprocess(
     return frames, onsets
 
 
+def onset_peak_mask(onsets: jnp.ndarray, t_end, onset_thresh) -> jnp.ndarray:
+    """Strict time-local onset maxima, thresholded with >= — including the
+    reference's quirk that threshold 0 admits non-peaks
+    (`note_creation.py:396-404`) — with every frame past t_end excluded.
+    Shared by the XLA decoder and the Pallas wrapper."""
+    n_frames = onsets.shape[0]
+    interior = (onsets[1:-1] > onsets[:-2]) & (onsets[1:-1] > onsets[2:])
+    peak_mask = jnp.pad(interior, ((1, 1), (0, 0)))
+    pos_t = jnp.arange(n_frames)[:, None]
+    peak_mask = peak_mask & (pos_t <= t_end - 2)  # padded region has no peaks
+    peak_values = jnp.where(peak_mask, onsets, 0.0)
+    return (peak_values >= onset_thresh) & (pos_t < t_end)
+
+
+def onset_candidate_order(onset_mask: jnp.ndarray, k: int, buf_len: int):
+    """Onset candidates in the reference's order (time desc, then freq desc
+    == descending flattened index), stream-compacted into a (buf_len,) int32
+    buffer of flat ids (-1 padded); candidates past the LOGICAL cap `k` are
+    dropped. Returns (order buffer, total candidate count).
+
+    Stable cumsum+scatter compaction — a top_k over T*88 elements compiles
+    and runs far worse at long-file scale. NOT jnp.arange(total-1, -1, -1):
+    a negative-step arange materializes a CONCRETE (T*88,) array into the
+    program as a literal — 150+ MB of constants in the hour-scale
+    executable, which then costs minutes to compile/serialize and to ship
+    to the device; the iota difference stays symbolic."""
+    total = onset_mask.size
+    mask_desc = onset_mask.reshape(-1)[::-1]
+    positions = jnp.cumsum(mask_desc.astype(jnp.int32)) - 1
+    # out-of-cap candidates scatter to index buf_len -> mode="drop"
+    dest = jnp.where(mask_desc & (positions < k), positions, buf_len)
+    flat_ids_desc = (total - 1) - jnp.arange(total, dtype=jnp.int32)
+    order = jnp.full((buf_len,), -1, jnp.int32).at[dest].set(
+        flat_ids_desc, mode="drop"
+    )
+    return order, jnp.sum(onset_mask).astype(jnp.int32)
+
+
 def decode(
     frames: jnp.ndarray,
     onsets: jnp.ndarray,
@@ -275,41 +313,18 @@ def decode(
         onsets = onsets * pad_mask
     frames, onsets = preprocess(frames, onsets, freq_mask, infer_onsets)
 
-    # strict local maxima over time, valued at the onset, thresholded —
-    # including the reference's quirk that threshold 0 passes non-peaks
-    interior = (onsets[1:-1] > onsets[:-2]) & (onsets[1:-1] > onsets[2:])
-    peak_mask = jnp.pad(interior, ((1, 1), (0, 0)))
-    pos_t = jnp.arange(n_frames)[:, None]
-    peak_mask = peak_mask & (pos_t <= t_end - 2)  # padded region has no peaks
-    peak_values = jnp.where(peak_mask, onsets, 0.0)
-    onset_mask = peak_values >= onset_thresh
-    # the threshold-0 quirk admits every cell — but never padding
-    onset_mask = onset_mask & (pos_t < t_end)
+    onset_mask = onset_peak_mask(onsets, t_end, onset_thresh)
 
-    # order: time desc, then freq desc == descending flattened index.
-    # Stable stream compaction via cumsum+scatter — a top_k over T*88
-    # elements compiles and runs far worse at long-file scale.
-    total = n_frames * F
     # candidate capacity must scale with recording length, independent of the
     # note-buffer size: real material carries ~20-25 onset candidates per
     # audio second (~0.25/frame), so a fixed max_notes-sized list spuriously
     # overflows (-> slow host fallback) past ~10 minutes. The onset loop
     # iterates n_onsets times regardless of k, so headroom costs only a
     # (k,) int32 buffer.
-    k = min(max(max_notes, n_frames), total)
-    mask_desc = onset_mask.reshape(-1)[::-1]
-    positions = jnp.cumsum(mask_desc.astype(jnp.int32)) - 1
-    dest = jnp.where(mask_desc, jnp.minimum(positions, k), k)  # k = dropped
-    # NOT jnp.arange(total-1, -1, -1): a negative-step arange materializes a
-    # CONCRETE (T*88,) array into the program as a literal — 150+ MB of
-    # constants in the hour-scale executable, which then costs minutes to
-    # compile/serialize and to ship to the device. iota minus stays symbolic.
-    flat_ids_desc = (total - 1) - jnp.arange(total, dtype=jnp.int32)
-    onset_order = jnp.full((k,), -1, jnp.int32).at[dest].set(
-        flat_ids_desc, mode="drop"
-    )
-    n_onsets = jnp.sum(onset_mask).astype(jnp.int32)
-    onset_overflow = n_onsets > k
+    k = min(max(max_notes, n_frames), n_frames * F)
+    onset_order, full_count = onset_candidate_order(onset_mask, k, k)
+    n_onsets = full_count
+    onset_overflow = full_count > k
 
     frames_ft = frames.T  # (F, T): row slice = one frequency's timeline
     remaining0 = frames_ft
@@ -404,7 +419,7 @@ def decode(
 
     def _apply_note(remaining, freq, t_mid):
         """Scan both directions from the seed, zero the claimed region, and
-        return (remaining', i_start, i_end, touched_lo) — windowed with an
+        return (remaining', i_start, i_end) — windowed with an
         exact full-length fallback."""
 
         def full_branch(rem):
@@ -417,7 +432,7 @@ def decode(
             )
             center = visited | (pos == t_mid)
             rem = _zero_rows(rem, freq, center, visited)
-            return rem, bwd_start, fwd_end - 1, jnp.asarray(-1, jnp.int32)
+            return rem, bwd_start, fwd_end - 1
 
         if not windowed:
             return full_branch(remaining)
@@ -440,7 +455,7 @@ def decode(
             )
             center = visited | (pos_w == t_mid_r)
             rem = _zero_rows_window(rem, freq, wstart, center, visited)
-            return rem, wstart + bwd_start_r, wstart + fwd_end_r - 1, wstart
+            return rem, wstart + bwd_start_r, wstart + fwd_end_r - 1
 
         return jax.lax.cond(sufficient, window_branch, full_branch, remaining)
 
@@ -466,7 +481,7 @@ def decode(
         t_mid = first // F
         freq = first % F
 
-        remaining, i_start, i_end, _ = _apply_note(remaining, freq, t_mid)
+        remaining, i_start, i_end = _apply_note(remaining, freq, t_mid)
         rmax3, tfirst3, row0 = _refresh_stats(remaining, freq)
         rowmax = jax.lax.dynamic_update_slice(rowmax, rmax3, (row0,))
         t_first = jax.lax.dynamic_update_slice(t_first, tfirst3, (row0,))
@@ -573,6 +588,10 @@ def bend_matrix(contours: jnp.ndarray) -> jnp.ndarray:
 
 def notes_to_events(decoded: DecodedNotes, bends: Optional[np.ndarray]):
     """Device buffers -> the host event-tuple format (frame domain)."""
+    # one batched fetch: per-field np.asarray would pay a full device round
+    # trip per buffer when `decoded` is still device-resident (free when the
+    # caller already fetched it, as pipeline._collect does)
+    decoded = jax.device_get(decoded)
     n = int(decoded.n_notes)
     starts = np.asarray(decoded.starts[:n]).tolist()
     ends = np.asarray(decoded.ends[:n]).tolist()
@@ -598,6 +617,7 @@ def notes_to_events_packed(
     longer than BEND_INLINE_FRAMES pull their full row from the
     device-resident matrix (one tiny transfer per long note).
     """
+    decoded = jax.device_get(decoded)  # one fetch, free if already on host
     n = int(decoded.n_notes)
     starts = np.asarray(decoded.starts[:n]).tolist()
     ends = np.asarray(decoded.ends[:n]).tolist()
@@ -612,8 +632,6 @@ def notes_to_events_packed(
         i for i, (s, e) in enumerate(zip(starts, ends)) if e - s > BEND_INLINE_FRAMES
     ]
     if long_idx:
-        import jax
-
         cols = np.unique(
             [pitches[i] - host_decode.MIDI_PITCH_OFFSET for i in long_idx]
         )

@@ -528,37 +528,17 @@ def decode_pallas(
         onsets = onsets * pad_mask
     frames, onsets = device_decode.preprocess(frames, onsets, freq_mask, infer_onsets)
 
-    # peak picking + descending-flat-index compaction — identical to
-    # device.decode (the flat ids t*F + f are padding-invariant)
-    interior = (onsets[1:-1] > onsets[:-2]) & (onsets[1:-1] > onsets[2:])
-    peak_mask = jnp.pad(interior, ((1, 1), (0, 0)))
-    pos_t = jnp.arange(n_frames)[:, None]
-    peak_mask = peak_mask & (pos_t <= t_end - 2)
-    peak_values = jnp.where(peak_mask, onsets, 0.0)
-    onset_mask = (peak_values >= onset_thresh) & (pos_t < t_end)
-
-    total = n_frames * F
-    # candidate capacity scales with recording length, independent of the
-    # note-buffer size — same rule as device.decode (~0.25 onset
-    # candidates/frame on real material; a fixed max_notes-sized list
-    # spuriously overflows past ~10 minutes). Rounded up to a lane multiple
-    # for the kernel's aligned block reads.
-    k = min(max(max_notes, n_frames), total)  # logical cap — matches device.decode
+    # peak picking + descending-flat-index compaction: the SAME helpers as
+    # device.decode (the exactness contract requires one implementation).
+    # Candidate capacity scales with recording length exactly like the XLA
+    # decoder; the buffer is lane-rounded for the kernel's aligned reads,
+    # with truncation still at the logical cap k.
+    onset_mask = device_decode.onset_peak_mask(onsets, t_end, onset_thresh)
+    k = min(max(max_notes, n_frames), n_frames * F)  # logical cap
     k_pad = -(-k // 128) * 128  # buffer width (aligned kernel block reads)
-    mask_desc = onset_mask.reshape(-1)[::-1]
-    positions = jnp.cumsum(mask_desc.astype(jnp.int32)) - 1
-    # candidates past the LOGICAL cap are dropped (scatter index k_pad is out
-    # of bounds -> mode="drop"), so truncation behaves exactly like the XLA
-    # decoder's k-sized list even though the buffer is lane-rounded
-    dest = jnp.where(mask_desc & (positions < k), positions, k_pad)
-    # symbolic iota, NOT jnp.arange(total-1, -1, -1): a negative-step arange
-    # bakes a concrete (T*88,) constant into the executable (see device.decode)
-    flat_ids_desc = (total - 1) - jnp.arange(total, dtype=jnp.int32)
-    onset_order = jnp.full((k_pad,), -1, jnp.int32).at[dest].set(
-        flat_ids_desc, mode="drop"
-    )
-    n_onsets = jnp.minimum(jnp.sum(onset_mask).astype(jnp.int32), k)
-    onset_overflow = jnp.sum(onset_mask) > k
+    onset_order, full_count = device_decode.onset_candidate_order(onset_mask, k, k_pad)
+    n_onsets = jnp.minimum(full_count, k)
+    onset_overflow = full_count > k
 
     # pad time to a lane multiple AFTER preprocessing; the padded zeros are
     # beyond t_end, which every scan bound already respects

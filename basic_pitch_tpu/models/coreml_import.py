@@ -173,13 +173,7 @@ def _parse_op(op: bytes) -> Tuple[str, Dict[str, str], Dict[str, bytes]]:
     return op_type, inputs, attrs
 
 
-def _identity_bn(width: int) -> Dict[str, np.ndarray]:
-    return {
-        "gamma": np.ones(width, np.float32),
-        "beta": np.zeros(width, np.float32),
-        "mean": np.zeros(width, np.float32),
-        "var": np.full(width, 1.0 - nmp.BN_EPSILON, np.float32),
-    }
+_identity_bn = nmp.identity_bn_stats  # shared (models/nmp.py)
 
 
 def load_nmp_coreml(path) -> Dict:

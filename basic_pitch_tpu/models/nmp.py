@@ -40,6 +40,20 @@ from basic_pitch_tpu.ops.spectral import normalized_log
 Params = Dict[str, Any]
 
 BN_EPSILON = 1e-3  # Keras BatchNormalization default
+
+
+def identity_bn_stats(width: int):
+    """BatchNorm parameter dict that is exactly the identity under
+    `_batch_norm`: rsqrt(var + eps) == 1 when var = 1 - eps. Used by the
+    serialized-model importers for formats that fold BN into the convs."""
+    import numpy as np
+
+    return {
+        "gamma": np.ones(width, np.float32),
+        "beta": np.zeros(width, np.float32),
+        "mean": np.zeros(width, np.float32),
+        "var": np.full(width, 1.0 - BN_EPSILON, np.float32),
+    }
 BN_MOMENTUM = 0.99
 
 # maximum CQT semitone count representable below Nyquist

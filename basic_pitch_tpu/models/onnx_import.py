@@ -81,8 +81,13 @@ def _tensor(buf: bytes) -> Tuple[str, Tuple[int, ...], np.ndarray]:
             name = value.decode()
         elif field == 9:
             raw += value
-        elif field == 4 and wire == 5:
+        elif field == 4 and wire == 2:
+            # packed floats: onnx.proto declares `repeated float float_data
+            # = 4 [packed = true]`, so standard encoders emit one
+            # length-delimited buffer of little-endian f32s
             floats.append(value)
+        elif field == 4 and wire == 5:
+            floats.append(value)  # unpacked encoder: one fixed32 per element
     if dtype != _FLOAT:
         return name, tuple(dims), None
     if raw:
@@ -92,14 +97,7 @@ def _tensor(buf: bytes) -> Tuple[str, Tuple[int, ...], np.ndarray]:
     return name, tuple(dims), arr.reshape(tuple(dims)).astype(np.float32)
 
 
-def _identity_bn(width: int) -> Dict[str, np.ndarray]:
-    return {
-        "gamma": np.ones(width, np.float32),
-        "beta": np.zeros(width, np.float32),
-        "mean": np.zeros(width, np.float32),
-        # rsqrt(var + eps) == 1 exactly when var = 1 - eps
-        "var": np.full(width, 1.0 - nmp.BN_EPSILON, np.float32),
-    }
+_identity_bn = nmp.identity_bn_stats  # shared (models/nmp.py)
 
 
 def looks_like_onnx(path) -> bool:

@@ -132,13 +132,7 @@ def looks_like_tflite(path) -> bool:
     return head[4:8] == _TFLITE_MAGIC
 
 
-def _identity_bn(width: int) -> Dict[str, np.ndarray]:
-    return {
-        "gamma": np.ones(width, np.float32),
-        "beta": np.zeros(width, np.float32),
-        "mean": np.zeros(width, np.float32),
-        "var": np.full(width, 1.0 - nmp.BN_EPSILON, np.float32),
-    }
+_identity_bn = nmp.identity_bn_stats  # shared (models/nmp.py)
 
 
 def load_nmp_tflite(path) -> Dict:

@@ -52,8 +52,10 @@ def design_lowpass_fir(
 
 
 def _hann_periodic(n: int) -> np.ndarray:
-    """Periodic (DFT-even) Hann window of length n."""
-    return 0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(n) / n)
+    """Periodic (DFT-even) Hann window of length n (float64 for kernel math)."""
+    from basic_pitch_tpu.ops import spectral
+
+    return spectral._hann_periodic(n, np.float64)
 
 
 def make_cqt_analysis_kernels(

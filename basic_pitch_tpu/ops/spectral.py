@@ -41,8 +41,10 @@ def normalized_log(magnitude: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(offset_max > 0.0, offset / offset_max, 0.0)
 
 
-def _hann_periodic(n: int) -> np.ndarray:
-    return (0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(n) / n)).astype(np.float32)
+def _hann_periodic(n: int, dtype=np.float32) -> np.ndarray:
+    """Periodic (DFT-even) Hann window — shared with the CQT kernel builder
+    (`ops/cqt.py`), which needs it at float64."""
+    return (0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(n) / n)).astype(dtype)
 
 
 def stft(

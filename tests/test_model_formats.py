@@ -107,3 +107,30 @@ def test_build_model_path_errors_without_reference(monkeypatch):
     monkeypatch.setattr(bp, "_reference_saved_models_dir", lambda: None)
     with pytest.raises(FileNotFoundError, match="BASIC_PITCH_SAVED_MODELS"):
         bp.build_icassp_2022_model_path(bp.FilenameSuffix.onnx)
+
+
+def test_onnx_tensor_parses_packed_float_data():
+    """onnx.proto declares float_data as `[packed = true]` — standard
+    serializers emit ONE length-delimited buffer (wire type 2), not
+    per-element fixed32 records. Both encodings must decode."""
+    import struct
+
+    from basic_pitch_tpu.data import proto
+    from basic_pitch_tpu.models import onnx_import
+
+    values = [1.5, -2.25, 3.0, 0.125]
+    payload = b"".join(struct.pack("<f", v) for v in values)
+    common = (
+        proto._tag(1, 0) + proto.encode_varint(2)      # dims: 2
+        + proto._tag(1, 0) + proto.encode_varint(2)    # dims: 2
+        + proto._tag(2, 0) + proto.encode_varint(1)    # data_type: FLOAT
+        + proto._length_delimited(8, b"w")             # name
+    )
+    packed = common + proto._length_delimited(4, payload)
+    unpacked = common + b"".join(
+        proto._tag(4, 5) + struct.pack("<f", v) for v in values
+    )
+    for buf in (packed, unpacked):
+        name, dims, arr = onnx_import._tensor(buf)
+        assert name == "w" and dims == (2, 2)
+        np.testing.assert_array_equal(arr, np.asarray(values, np.float32).reshape(2, 2))
