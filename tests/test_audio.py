@@ -152,3 +152,43 @@ def test_load_audio_flac_via_ffmpeg(tmp_path):
     # flac is lossless: same tone back
     n = min(len(y), len(tone))
     assert np.max(np.abs(y[:n] - tone[:n])) < 1e-3
+
+
+def test_stereo_pcm24_wav_full_predict(tmp_path):
+    """A stereo 24-bit WAV at 48 kHz exercises the 24-bit decoder, channel
+    mixdown, AND the non-standard-rate resampler through the full predict
+    path (the reference accepts such files via librosa)."""
+    import struct
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from basic_pitch_tpu import inference
+
+    sr = 48000
+    t = np.arange(int(1.5 * sr)) / sr
+    left = 0.5 * np.sin(2 * np.pi * 440.0 * t)
+    right = 0.5 * np.sin(2 * np.pi * 440.0 * t + 0.2)
+    stereo = np.stack([left, right], axis=1)
+    pcm = np.clip(np.round(stereo * (1 << 23)), -(1 << 23), (1 << 23) - 1).astype(np.int32)
+    payload = b"".join(
+        struct.pack("<i", v)[:3] for v in pcm.reshape(-1)
+    )
+    path = tmp_path / "stereo24.wav"
+    n_channels, bits = 2, 24
+    byte_rate = sr * n_channels * bits // 8
+    block_align = n_channels * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, n_channels, sr, byte_rate, block_align, bits)
+    with open(path, "wb") as fh:
+        fh.write(b"RIFF" + struct.pack("<I", 36 + len(payload)) + b"WAVE")
+        fh.write(b"fmt " + struct.pack("<I", len(fmt)) + fmt)
+        fh.write(b"data" + struct.pack("<I", len(payload)) + payload)
+
+    # decoder-level check: mono mixdown of a coherent stereo tone
+    y, got_sr = audio_io.load_audio(path, 22050)
+    assert got_sr == 22050
+    assert 0.3 < np.abs(y).max() < 0.7  # in-range, not silent, no gain bug
+
+    out, midi, events = inference.predict(str(path))
+    assert len(events) >= 1
+    assert all(abs(e[2] - 69) <= 1 for e in events)  # A4 ± quantization
