@@ -68,7 +68,12 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main() -> None:
-    args = build_parser().parse_args()
+    parser = build_parser()
+    args = parser.parse_args()
+    if args.streaming and args.debug_file:
+        # argument validation belongs to the parser (one-line usage error,
+        # exit 2), not the runtime crash banner
+        parser.error("--debug-file is only supported without --streaming")
 
     # deferred import keeps `--help` fast (no JAX/XLA startup)
     from basic_pitch_tpu import FilenameSuffix, build_icassp_2022_model_path
@@ -92,8 +97,6 @@ def main() -> None:
     # its message; anything else prints a banner + traceback, never a bare crash
     try:
         if args.streaming:
-            if args.debug_file:
-                raise ValueError("--debug-file is only supported without --streaming")
             inference.predict_and_save_streaming(
                 args.audio_paths,
                 args.output_dir,

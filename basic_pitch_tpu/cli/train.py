@@ -75,19 +75,26 @@ def main(
 
     callbacks = []
     if size_evaluation_callback_datasets > 0:
-        viz_train = loader.example_stream(
-            "train", source, datasets_to_use, dataset_sampling_frequency,
-            n_samples_per_track=1, seed=0,
-        )
-        viz_val = loader.example_stream(
-            "validation", source, datasets_to_use, dataset_sampling_frequency,
-            n_samples_per_track=1,
-        )
+        # restart the stream when a pass over the split completes: a single-
+        # pass generator would silently stop feeding tensorboard partway
+        # through a long run (the reference's tf.data re-iterates per epoch)
+        def _cycling(split, seed=None):
+            while True:
+                empty = True
+                for item in loader.example_stream(
+                    split, source, datasets_to_use, dataset_sampling_frequency,
+                    n_samples_per_track=1, seed=seed,
+                ):
+                    empty = False
+                    yield item
+                if empty:
+                    return  # empty split: don't spin forever
+
         viz_batch = min(size_evaluation_callback_datasets, 4)
         callbacks.append(
             VisualizeCallback(
-                loader._prefetch(loader._batched(viz_train, viz_batch), 1),
-                loader._prefetch(loader._batched(viz_val, viz_batch), 1),
+                loader._prefetch(loader._batched(_cycling("train", seed=0), viz_batch), 1),
+                loader._prefetch(loader._batched(_cycling("validation"), viz_batch), 1),
                 tensorboard_log_dir,
                 sonify=not no_sonify,
                 contours=not no_contours,
@@ -98,9 +105,11 @@ def main(
     mesh = None
     if data_parallel and len(jax.devices()) > 1:
         mesh = mesh_lib.make_mesh()
-        assert batch_size % mesh.devices.size == 0, (
-            f"batch size {batch_size} must divide across {mesh.devices.size} devices"
-        )
+        if batch_size % mesh.devices.size != 0:  # not assert: survives -O
+            raise ValueError(
+                f"batch size {batch_size} must divide across "
+                f"{mesh.devices.size} devices"
+            )
         logging.info("training data-parallel over %d devices", mesh.devices.size)
 
     config = train_loop.TrainConfig(

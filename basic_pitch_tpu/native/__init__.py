@@ -32,16 +32,50 @@ def _build() -> bool:
     # shared between machines (NFS, container images) would execute another
     # host's ISA extensions and SIGILL; these entry points are stream/byte
     # bound, so portable -O3 costs nothing measurable
-    cmd = [
-        "g++", "-O3", "-shared", "-fPIC",
-        "-o", str(_LIB_PATH), str(_SRC),
-    ]
+    # compile to a process-unique temp name and atomically rename: another
+    # process mid-CDLL (or one that already mapped the old .so) must never
+    # observe a truncated file
+    tmp = _LIB_PATH.with_name(f"{_LIB_PATH.name}.{os.getpid()}.tmp")
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-o", str(tmp), str(_SRC)]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, _LIB_PATH)
         return True
     except Exception as exc:  # no compiler / failed build -> python fallbacks
         logger.info("native build unavailable (%s); using python fallbacks", exc)
+        try:
+            tmp.unlink(missing_ok=True)
+        except OSError:
+            pass
         return False
+
+
+def _bind(lib: ctypes.CDLL) -> None:
+    """Declare every entry point's signature (raises AttributeError when the
+    cached .so predates a symbol — callers rebuild then)."""
+    i64, i32, u32 = ctypes.c_int64, ctypes.c_int32, ctypes.c_uint32
+    ptr = ctypes.c_void_p
+    lib.decode_pcm16_mono.argtypes = [ptr, i64, i32, ptr]
+    lib.decode_pcm24_mono.argtypes = [ptr, i64, i32, ptr]
+    lib.decode_pcm32_mono.argtypes = [ptr, i64, i32, ptr]
+    lib.decode_float32_mono.argtypes = [ptr, i64, i32, ptr]
+    lib.resample_poly_f32.argtypes = [ptr, i64, i32, i32, ptr, i32, ptr, i64]
+    lib.resample_down_f32.argtypes = [ptr, i64, i32, ptr, i32, ptr, i64]
+    lib.crc32c.argtypes = [ptr, i64]
+    lib.crc32c.restype = u32
+    lib.pack_pcm16_residual.argtypes = [ptr, i64, i32, ptr, i32, ptr, i64, ptr, ptr, ptr]
+    lib.pack_pcm16_residual.restype = i64
+    lib.residual_order_costs.argtypes = [ptr, i64, ptr]
+
+
+def _try_open() -> Optional[ctypes.CDLL]:
+    try:
+        lib = ctypes.CDLL(str(_LIB_PATH))
+        _bind(lib)
+        return lib
+    except (OSError, AttributeError):
+        # wrong-arch / truncated / stale .so missing a newer symbol
+        return None
 
 
 def load() -> Optional[ctypes.CDLL]:
@@ -52,29 +86,19 @@ def load() -> Optional[ctypes.CDLL]:
     with _lock:
         if _lib is not None or _build_failed:
             return _lib
-        if not _LIB_PATH.exists() or _LIB_PATH.stat().st_mtime < _SRC.stat().st_mtime:
+        lib = None
+        if _LIB_PATH.exists() and _LIB_PATH.stat().st_mtime >= _SRC.stat().st_mtime:
+            lib = _try_open()
+        if lib is None:
+            # missing, stale, or unloadable (other-arch NFS cache, truncated
+            # write, predates a symbol): rebuild from the bundled source
             if not _build():
                 _build_failed = True
                 return None
-        try:
-            lib = ctypes.CDLL(str(_LIB_PATH))
-        except OSError:
-            _build_failed = True
-            return None
-
-        i64, i32, u32 = ctypes.c_int64, ctypes.c_int32, ctypes.c_uint32
-        ptr = ctypes.c_void_p
-        lib.decode_pcm16_mono.argtypes = [ptr, i64, i32, ptr]
-        lib.decode_pcm24_mono.argtypes = [ptr, i64, i32, ptr]
-        lib.decode_pcm32_mono.argtypes = [ptr, i64, i32, ptr]
-        lib.decode_float32_mono.argtypes = [ptr, i64, i32, ptr]
-        lib.resample_poly_f32.argtypes = [ptr, i64, i32, i32, ptr, i32, ptr, i64]
-        lib.resample_down_f32.argtypes = [ptr, i64, i32, ptr, i32, ptr, i64]
-        lib.crc32c.argtypes = [ptr, i64]
-        lib.crc32c.restype = u32
-        lib.pack_pcm16_residual.argtypes = [ptr, i64, i32, ptr, i32, ptr, i64, ptr, ptr, ptr]
-        lib.pack_pcm16_residual.restype = i64
-        lib.residual_order_costs.argtypes = [ptr, i64, ptr]
+            lib = _try_open()
+            if lib is None:
+                _build_failed = True
+                return None
         _lib = lib
         return _lib
 
@@ -121,20 +145,20 @@ def resample_poly(x: np.ndarray, up: int, down: int, taps: np.ndarray, n_out: in
     ratios involve scipy's tap-padding alignment rules and stay on the
     scipy path.
     """
+    if up != 1:
+        # general ratios are NOT scipy-exactness-verified (tap-padding
+        # alignment differs); returning None keeps callers on the scipy
+        # path instead of silently diverging numerically
+        return None
     lib = load()
     if lib is None:
         return None
     x = np.ascontiguousarray(x, np.float32)
     taps = np.ascontiguousarray(taps, np.float64)
     out = np.empty(n_out, np.float32)
-    if up == 1:
-        lib.resample_down_f32(
-            _as_ptr(x), len(x), down, _as_ptr(taps), len(taps), _as_ptr(out), n_out
-        )
-    else:
-        lib.resample_poly_f32(
-            _as_ptr(x), len(x), up, down, _as_ptr(taps), len(taps), _as_ptr(out), n_out
-        )
+    lib.resample_down_f32(
+        _as_ptr(x), len(x), down, _as_ptr(taps), len(taps), _as_ptr(out), n_out
+    )
     return out
 
 

@@ -127,24 +127,30 @@ void resample_down_f32(const float* x, int64_t n_in, int32_t down,
 // CRC32C (Castagnoli), slice-by-8
 // ---------------------------------------------------------------------------
 
-static uint32_t crc_table[8][256];
-static bool crc_init_done = false;
-
-static void crc_init() {
-    for (int i = 0; i < 256; ++i) {
-        uint32_t c = (uint32_t)i;
-        for (int k = 0; k < 8; ++k) c = (c >> 1) ^ ((c & 1) ? 0x82F63B78u : 0);
-        crc_table[0][i] = c;
+struct CrcTable {
+    uint32_t t[8][256];
+    CrcTable() {
+        for (int i = 0; i < 256; ++i) {
+            uint32_t c = (uint32_t)i;
+            for (int k = 0; k < 8; ++k) c = (c >> 1) ^ ((c & 1) ? 0x82F63B78u : 0);
+            t[0][i] = c;
+        }
+        for (int s = 1; s < 8; ++s)
+            for (int i = 0; i < 256; ++i)
+                t[s][i] = (t[s - 1][i] >> 8) ^ t[0][t[s - 1][i] & 0xFF];
     }
-    for (int t = 1; t < 8; ++t)
-        for (int i = 0; i < 256; ++i)
-            crc_table[t][i] =
-                (crc_table[t - 1][i] >> 8) ^ crc_table[0][crc_table[t - 1][i] & 0xFF];
-    crc_init_done = true;
+};
+
+// C++11 guarantees thread-safe initialization of function-local statics —
+// concurrent first use from loader threads must not race a lazy init
+static const CrcTable& crc_tables() {
+    static const CrcTable tables;
+    return tables;
 }
 
 uint32_t crc32c(const uint8_t* data, int64_t n) {
-    if (!crc_init_done) crc_init();
+    const auto& tbl = crc_tables();
+    const uint32_t (*crc_table)[256] = tbl.t;
     uint32_t crc = 0xFFFFFFFFu;
     int64_t i = 0;
     for (; i + 8 <= n; i += 8) {
@@ -229,6 +235,7 @@ int64_t pack_pcm16_residual(const int16_t* x, int64_t n, int32_t order,
                             int64_t* counts) {
     const int64_t kBlock = 256;
     if (n % kBlock != 0 || order < 1 || order > 3) return -1;
+    if (n_k < 1 || n_k > 64) return -1;  // fixed-size offset arrays below
     const int64_t kPay = kBlock - order;
     const int64_t nb = n / kBlock;
 

@@ -52,3 +52,16 @@ def enable_compilation_cache() -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
     except Exception as exc:  # pragma: no cover - depends on environment
         logger.info("compilation cache unavailable (%s); compiling cold", exc)
+
+
+def pin_cpu_if_requested() -> None:
+    """Honor a cpu-platform request programmatically BEFORE any backend-
+    initializing call: the hosted TPU plugin ignores JAX_PLATFORMS=cpu, so
+    scripts that should run on virtual host devices (driver dryruns, demos)
+    must pin the platform via jax.config. Shared by `__graft_entry__` and
+    `tools/train_demo`."""
+    xla_flags = os.environ.get("XLA_FLAGS", "")
+    wants_host_devices = "--xla_force_host_platform_device_count" in xla_flags
+    wants_cpu = "cpu" in os.environ.get("JAX_PLATFORMS", "").lower()
+    if wants_host_devices or wants_cpu:
+        jax.config.update("jax_platforms", "cpu")

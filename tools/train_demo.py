@@ -102,12 +102,9 @@ def main() -> None:
     parser.add_argument("--output", default=None)
     args = parser.parse_args()
 
-    import os
+    from basic_pitch_tpu.utils import runtime
 
-    if "--xla_force_host_platform_device_count" in os.environ.get("XLA_FLAGS", ""):
-        import jax
-
-        jax.config.update("jax_platforms", "cpu")
+    runtime.pin_cpu_if_requested()
     import jax
 
     from basic_pitch_tpu import constants, inference
