@@ -53,7 +53,10 @@ def _reference_saved_models_dir() -> "pathlib.Path | None":
         candidate = pathlib.Path(basic_pitch.__file__).parent / "saved_models" / "icassp_2022"
         if candidate.is_dir():
             return candidate
-    except ImportError:
+    except Exception:
+        # the reference package imports TensorFlow on import; beyond
+        # ImportError it can raise OSError (native libs) or RuntimeError —
+        # any failure here just means "no reference checkout available"
         pass
     return None
 

@@ -118,6 +118,19 @@ class IkalaBuilder:
 
 
 def main(args: argparse.Namespace) -> None:
+    if (
+        getattr(args, "validation_percent", None) is not None
+        and abs(args.validation_percent - (1.0 - args.train_percent)) > 1e-9
+    ):
+        import warnings
+
+        warnings.warn(
+            "iKala has no test split: everything past --train-percent is "
+            "validation, so --validation-percent="
+            f"{args.validation_percent} is ignored "
+            f"(effective validation share: {1.0 - args.train_percent:.3f})",
+            stacklevel=1,
+        )
     builder = IkalaBuilder(args.source)
     pipeline.run(
         DATASET_NAME,
@@ -138,6 +151,9 @@ def build_parser(parser: Optional[argparse.ArgumentParser] = None) -> argparse.A
     parser = parser or argparse.ArgumentParser(description=__doc__)
     commandline.add_default(parser, DATASET_NAME)
     commandline.add_split(parser)
+    # iKala has no test split: validation is whatever --train-percent leaves,
+    # so let main() detect an explicitly-passed --validation-percent and warn
+    parser.set_defaults(validation_percent=None)
     return parser
 
 

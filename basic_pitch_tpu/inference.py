@@ -513,33 +513,41 @@ def predict_and_save_streaming(
         model.params, config=model.config, windows_per_chunk=windows_per_chunk
     )
 
-    recordings = []
-    for audio_path in audio_path_list:
-        pcm = None
-        if audio_io._is_wav(audio_path):
-            pcm = audio_io.read_wav_pcm16_mono(audio_path)
-        if pcm is None:  # not losslessly int16-transportable: float path
-            samples, sr = audio_io.load_audio(audio_path, constants.AUDIO_SAMPLE_RATE)
-            recordings.append((samples, sr))
-        else:
-            recordings.append(pcm)
-
     min_note_len = int(
         np.round(minimum_note_length / 1000 * (constants.AUDIO_SAMPLE_RATE / constants.FFT_HOP))
     )
-    results = transcriber.transcribe_batch(
-        recordings,
-        onset_threshold=onset_threshold,
-        frame_threshold=frame_threshold,
-        min_note_length=min_note_len,
-        min_freq=minimum_frequency,
-        max_freq=maximum_frequency,
-        melodia_trick=melodia_trick,
-        include_pitch_bends=True,
-        # posteriorgrams ride the same batched fetch — the model runs ONCE
-        # per file whether or not NPZs are requested
-        return_model_outputs=save_model_outputs,
-    )
+    # dispatch in groups so host memory stays bounded: decoded audio for a
+    # group is freed before the next group loads (cross-recording compute
+    # overlap happens within a group — 16 files is plenty to hide latency)
+    group = 16
+    results = []
+    for start in range(0, len(audio_path_list), group):
+        recordings = []
+        for audio_path in audio_path_list[start : start + group]:
+            pcm = None
+            if audio_io._is_wav(audio_path):
+                pcm = audio_io.read_wav_pcm16_mono(audio_path)
+            if pcm is None:  # not losslessly int16-transportable: float path
+                samples, sr = audio_io.load_audio(audio_path, constants.AUDIO_SAMPLE_RATE)
+                recordings.append((samples, sr))
+            else:
+                recordings.append(pcm)
+        results.extend(
+            transcriber.transcribe_batch(
+                recordings,
+                onset_threshold=onset_threshold,
+                frame_threshold=frame_threshold,
+                min_note_length=min_note_len,
+                min_freq=minimum_frequency,
+                max_freq=maximum_frequency,
+                melodia_trick=melodia_trick,
+                include_pitch_bends=True,
+                # posteriorgrams ride the same batched fetch — the model runs
+                # ONCE per file whether or not NPZs are requested
+                return_model_outputs=save_model_outputs,
+            )
+        )
+    transcriber.close()
 
     for audio_path, result in zip(audio_path_list, results):
         if save_model_outputs:

@@ -108,9 +108,13 @@ def looks_like_onnx(path) -> bool:
         return False
     if p.suffix == ".onnx":
         return True
-    head = p.open("rb").read(2)
-    # ModelProto begins with ir_version (field 1, varint): tag byte 0x08
-    return head[:1] == b"\x08"
+    with p.open("rb") as fh:
+        head = fh.read(64)
+    # ModelProto begins with ir_version (field 1, varint): tag byte 0x08.
+    # Many protobufs share that first byte, so also require a graph field
+    # (field 7, length-delimited: tag byte 0x3a) somewhere in the head —
+    # cheap enough and keeps non-ONNX protobufs out of the ONNX reader.
+    return head[:1] == b"\x08" and b"\x3a" in head
 
 
 def load_nmp_onnx(path) -> Dict:

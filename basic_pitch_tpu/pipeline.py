@@ -107,6 +107,28 @@ class StreamingTranscriber:
         self._pack_pool = concurrent.futures.ThreadPoolExecutor(max_workers=2)
         self._decode_cache = {}
 
+    def close(self) -> None:
+        """Release the packer worker threads (idempotent).
+
+        Long-lived processes constructing many transcribers should call
+        this (or use the instance as a context manager) — per-instance
+        executors otherwise accumulate idle threads until GC.
+        """
+        self._pack_pool.shutdown(wait=False)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+    def __del__(self):
+        try:
+            self._pack_pool.shutdown(wait=False)
+        except Exception:
+            pass
+
     # ------------------------------------------------------------------
 
     def _piece_fn(self, is_44k: bool, keep_contour: bool = False):
