@@ -40,6 +40,7 @@ def main(
     weighted_onset_loss: bool,
     positive_onset_weight: float,
     data_parallel: bool = True,
+    trainable_cqt: bool = False,
 ) -> None:
     """Build datasets, model, and callbacks, then run the fit loop."""
     import jax
@@ -59,7 +60,7 @@ def main(
     )
     logging.info("datasets: %s, weights: %s", datasets_to_use, dataset_sampling_frequency)
 
-    model_config = nmp.ModelConfig(no_contours=no_contours)
+    model_config = nmp.ModelConfig(no_contours=no_contours, trainable_cqt=trainable_cqt)
     train_iter, val_iter = loader.prepare_datasets(
         source,
         shuffle_size,
@@ -156,6 +157,11 @@ def console_entry_point() -> None:
         )
     parser.add_argument("--no-sonify", action="store_true", help="exclude sonifications from tensorboard")
     parser.add_argument("--no-contours", action="store_true", help="train without supervising the contour head")
+    parser.add_argument(
+        "--trainable-cqt",
+        action="store_true",
+        help="learn the CQT filterbank alongside the convs (kernels stay L1-normalized per bin)",
+    )
     parser.add_argument("--weighted-onset-loss", action="store_true",
                         help="use a class-balanced loss for onsets")
     parser.add_argument("--positive-onset-weight", type=float, default=0.5,
@@ -193,6 +199,7 @@ def console_entry_point() -> None:
         args.weighted_onset_loss,
         args.positive_onset_weight,
         args.data_parallel,
+        args.trainable_cqt,
     )
 
 

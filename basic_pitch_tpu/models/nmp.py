@@ -140,19 +140,26 @@ class ModelConfig:
         n_filters_notes: int = 32,
         n_filters_onsets: int = 32,
         no_contours: bool = False,
+        trainable_cqt: bool = False,
     ):
         self.n_harmonics = n_harmonics
         self.n_filters_contour = n_filters_contour
         self.n_filters_notes = n_filters_notes
         self.n_filters_onsets = n_filters_onsets
         self.no_contours = no_contours
+        # learn the CQT filterbank alongside the convs — the analogue of the
+        # reference CQT layer's `trainable=True` (`nnaudio.py:602-604`); the
+        # bank lives in params["cqt_kernels"] and is L1-renormalized per
+        # optimizer step by `apply_unit_norm_constraint`
+        self.trainable_cqt = trainable_cqt
         self.harmonics = default_harmonics(n_harmonics)
 
     def __repr__(self) -> str:
         return (
             f"ModelConfig(n_harmonics={self.n_harmonics}, "
             f"contour={self.n_filters_contour}, notes={self.n_filters_notes}, "
-            f"onsets={self.n_filters_onsets}, no_contours={self.no_contours})"
+            f"onsets={self.n_filters_onsets}, no_contours={self.no_contours}, "
+            f"trainable_cqt={self.trainable_cqt})"
         )
 
 
@@ -175,7 +182,9 @@ def frontend(
         ((b, n_frames, 264, n_harmonics) stack, dict of train-mode BN stats)
     """
     kernels = cqt_kernels_for(config.n_harmonics)
-    mag = cqt_ops.cqt_magnitude(kernels, audio, precision=precision)
+    mag = cqt_ops.cqt_magnitude(
+        kernels, audio, precision=precision, kernel_matrix=params.get("cqt_kernels")
+    )
     x = normalized_log(mag)[..., None]  # (b, t, f, 1)
     x, bn_stats = _batch_norm(x, params["bn_cqt"], train)
     stacked = harmonic_stack(
@@ -294,7 +303,14 @@ def init_params(key: jax.Array, config: ModelConfig = DEFAULT_CONFIG) -> Params:
     keys = jax.random.split(key, 6)
     nh = len(config.harmonics)
     note_in_ch = 1 if not config.no_contours else config.n_filters_contour
-    return {
+    extra: Params = {}
+    if config.trainable_cqt:
+        # initialize the learnable filterbank at the analytic CQT kernels,
+        # like the reference's Variable wrapping (`nnaudio.py:602-604`)
+        extra["cqt_kernels"] = jnp.asarray(
+            cqt_kernels_for(config.n_harmonics).top_octave_kernels.T
+        )
+    return extra | {
         "bn_cqt": _bn_init(1),
         "contour_conv": _conv_init(keys[0], 3, 39, nh, config.n_filters_contour),
         "bn_contour": _bn_init(config.n_filters_contour),
@@ -322,4 +338,13 @@ def apply_unit_norm_constraint(params: Params) -> Params:
     out = dict(params)
     for name in ("contour_conv", "contour_out", "note_conv", "note_out", "onset_conv", "onset_out"):
         out[name] = norm_conv(params[name])
+    if "cqt_kernels" in params:
+        # trainable filterbank: keep each bin's complex kernel L1-normalized,
+        # the invariant the analytic bank is built with (`make_cqt_analysis_
+        # kernels` L1 basis norm) — applied per step like the conv constraint
+        km = params["cqt_kernels"]  # (n_fft, 2*n_filters): real cols then imag
+        n_filters = km.shape[1] // 2
+        mag = jnp.sqrt(jnp.square(km[:, :n_filters]) + jnp.square(km[:, n_filters:]))
+        l1 = jnp.maximum(jnp.sum(mag, axis=0, keepdims=True), 1e-12)  # (1, n_filters)
+        out["cqt_kernels"] = km / jnp.concatenate([l1, l1], axis=1)
     return out

@@ -89,6 +89,41 @@ def test_train_step_reduces_loss():
     np.testing.assert_allclose(norms, 1.0, atol=1e-4)
 
 
+def test_trainable_cqt_kernels_learn_and_transcribe():
+    """`trainable_cqt=True` puts the filterbank in the param tree: gradient
+    steps move it, the per-step constraint keeps each bin L1-normalized, and
+    the forward pass still produces well-formed posteriorgrams (the parity
+    analogue of the reference CQT's `trainable=True`, `nnaudio.py:602-604`)."""
+    rng = np.random.RandomState(3)
+    model_config = nmp.ModelConfig(trainable_cqt=True)
+    config = train_loop.TrainConfig(learning_rate=5e-3)
+    optimizer = train_loop.make_optimizer(config)
+    params = nmp.init_params(jax.random.PRNGKey(0), model_config)
+    assert "cqt_kernels" in params
+    initial = np.asarray(params["cqt_kernels"]).copy()
+
+    opt_state = optimizer.init(params)
+    step = train_loop.build_train_step(optimizer, config, model_config)
+    batch = _random_batch(rng)
+    for _ in range(2):
+        params, opt_state, metrics = step(params, opt_state, batch)
+
+    learned = np.asarray(params["cqt_kernels"])
+    assert not np.allclose(learned, initial), "kernels did not receive gradients"
+    # constraint invariant: complex L1 norm of every bin stays 1
+    n_filters = learned.shape[1] // 2
+    mags = np.sqrt(learned[:, :n_filters] ** 2 + learned[:, n_filters:] ** 2)
+    np.testing.assert_allclose(mags.sum(axis=0), 1.0, atol=1e-5)
+
+    out = nmp.predict_fn(params, jnp.asarray(batch["audio"]), model_config)
+    assert out["note"].shape == (2, 172, 88)
+    assert np.isfinite(np.asarray(out["note"])).all()
+    # inference with the default (non-trainable) config is untouched: no
+    # cqt_kernels key means the analytic bank is used
+    base = nmp.init_params(jax.random.PRNGKey(0))
+    assert "cqt_kernels" not in base
+
+
 def test_fit_end_to_end(tmp_path):
     rng = np.random.RandomState(1)
 
