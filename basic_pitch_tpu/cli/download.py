@@ -3,7 +3,10 @@
 Two-stage argparse with a dataset dispatch table, mirroring the reference
 (`/root/reference/basic_pitch/data/download.py:30-61`). Each subcommand
 converts a locally available corpus into the framework's TFRecord layout
-(<destination>/<dataset>/splits/<split>/*.tfrecord).
+(<destination>/<dataset>/splits/<split>/*.tfrecord); with ``--fetch`` the
+remote corpus is first downloaded into ``--source`` (resumable transfers,
+md5 verification — `basic_pitch_tpu.data.fetch`), reproducing the
+reference's mirdata acquisition step (`datasets/guitarset.py:85-93`).
 """
 
 from __future__ import annotations

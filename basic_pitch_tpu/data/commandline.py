@@ -37,6 +37,22 @@ def add_default(parser: argparse.ArgumentParser, dataset_name: str) -> None:
         help="If true, output goes under <destination>/<timestamp>/<dataset>.",
     )
     parser.add_argument("--batch-size", default=5, type=int, help="Tracks per TFRecord shard batch.")
+    parser.add_argument(
+        "--fetch",
+        action="store_true",
+        help=(
+            "Download the remote corpus into --source before building "
+            "(resumable, checksum-verified; see basic_pitch_tpu.data.fetch)."
+        ),
+    )
+
+
+def maybe_fetch(args: argparse.Namespace, dataset_name: str) -> None:
+    """Run the acquisition step when --fetch was passed (shared by builders)."""
+    if getattr(args, "fetch", False):
+        from basic_pitch_tpu.data import fetch
+
+        fetch.fetch_dataset(dataset_name, args.source)
 
 
 def add_split(parser: argparse.ArgumentParser) -> None:

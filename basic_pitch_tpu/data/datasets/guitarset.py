@@ -102,6 +102,7 @@ class GuitarSetBuilder:
 
 
 def main(args: argparse.Namespace) -> None:
+    commandline.maybe_fetch(args, DATASET_NAME)
     builder = GuitarSetBuilder(args.source)
     input_data = pipeline.assign_percentage_splits(
         builder.track_ids(), args.train_percent, args.validation_percent, args.split_seed

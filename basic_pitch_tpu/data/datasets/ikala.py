@@ -131,6 +131,7 @@ def main(args: argparse.Namespace) -> None:
             f"(effective validation share: {1.0 - args.train_percent:.3f})",
             stacklevel=1,
         )
+    commandline.maybe_fetch(args, DATASET_NAME)
     builder = IkalaBuilder(args.source)
     pipeline.run(
         DATASET_NAME,

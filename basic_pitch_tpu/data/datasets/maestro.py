@@ -107,6 +107,7 @@ def _columnar_to_records(raw: dict) -> List[dict]:
 
 
 def main(args: argparse.Namespace) -> None:
+    commandline.maybe_fetch(args, DATASET_NAME)
     builder = MaestroBuilder(args.source)
     pipeline.run(
         DATASET_NAME,

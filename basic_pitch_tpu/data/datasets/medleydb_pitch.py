@@ -93,6 +93,7 @@ class MedleyDBPitchBuilder:
 
 
 def main(args: argparse.Namespace) -> None:
+    commandline.maybe_fetch(args, DATASET_NAME)
     builder = MedleyDBPitchBuilder(args.source)
     input_data = pipeline.assign_percentage_splits(
         builder.track_ids(), args.train_percent, args.validation_percent, args.split_seed

@@ -137,6 +137,7 @@ def _stem_notes(midi_path: pathlib.Path):
 
 
 def main(args: argparse.Namespace) -> None:
+    commandline.maybe_fetch(args, DATASET_NAME)
     builder = SlakhBuilder(args.source)
     pipeline.run(
         DATASET_NAME,
