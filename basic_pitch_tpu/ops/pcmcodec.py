@@ -274,11 +274,19 @@ def pack(pcm: np.ndarray, order: Optional[int] = None) -> PackedPCM:
 _jit_cache: Dict = {}
 
 
-def _init_fn(nb: int, order: int):
-    key = ("init", nb, order)
+def _init_fn(nb: int, order: int, device=None):
+    key = ("init", nb, order, device)
     if key not in _jit_cache:
         pay = payload_len(order)
-        _jit_cache[key] = jax.jit(lambda: jnp.zeros((nb + 1, pay), jnp.int32))
+        fn = lambda: jnp.zeros((nb + 1, pay), jnp.int32)  # noqa: E731
+        if device is not None:
+            # pin the zero buffer to the target chip so the whole decode
+            # chain (which follows committed inputs) runs there — used by
+            # the mesh pipeline's per-shard uploads
+            sharding = jax.sharding.SingleDeviceSharding(device)
+            _jit_cache[key] = jax.jit(fn, out_shardings=sharding)
+        else:
+            _jit_cache[key] = jax.jit(fn)
     return _jit_cache[key]
 
 
@@ -348,20 +356,25 @@ def _finish_fn(nb: int, n_out: int, order: int):
     return fn
 
 
-def decode_to_device(packed: PackedPCM, n_out: Optional[int] = None) -> jax.Array:
+def decode_to_device(
+    packed: PackedPCM, n_out: Optional[int] = None, device=None
+) -> jax.Array:
     """Upload a PackedPCM and reconstruct float32 samples in HBM.
 
     Returns a device array equal to `pcm.astype(float32)/32768` for the
     packed samples (bit-exact; verified in tests). All transfers are
-    started async; nothing here blocks.
+    started async; nothing here blocks. ``device`` pins the transfers and
+    the decode to one chip (committed arrays) — the mesh pipeline decodes
+    each shard's packed bytes on its own device this way.
     """
     n_out = packed.n_samples if n_out is None else n_out
-    words = jax.device_put(packed.words)
-    heads = jax.device_put(packed.heads)
-    buf = _init_fn(packed.nb, packed.order)()
+    put = jax.device_put if device is None else (lambda x: jax.device_put(x, device))
+    words = put(packed.words)
+    heads = put(packed.heads)
+    buf = _init_fn(packed.nb, packed.order, device)()
     for k, word_off, n_rows, idx in packed.groups:
         fn = _unpack_scatter_fn(k, len(idx), packed.order)
-        buf = fn(buf, words, jnp.int32(word_off), jax.device_put(idx))
+        buf = fn(buf, words, put(np.int32(word_off)), put(idx))
     return _finish_fn(packed.nb, n_out, packed.order)(buf, heads)
 
 

@@ -19,8 +19,15 @@ streaming windowed inference (SURVEY §5 "long-context"). Output semantics
 are identical to `inference.run_inference` + `unwrap_output`.
 
 Multi-chip: pass a `jax.sharding.Mesh`; the window batch axis is sharded
-across it, sharding the gather, the model convs, and the trim — XLA inserts
-the (trivial) collectives. One chunk then spans W windows across all chips.
+across it AND so are the uploads — each device receives only its own
+window span (W/N windows + the OVERLAP halo) as one row of an
+(N, row_span) sharded array, with the PCM codec applied per row and
+decoded on that row's device. Per-chip host->device traffic is therefore
+~1/N of the single-chip path (the link is the measured bottleneck —
+DESIGN §2), and the unfold/model/trim stay shard-local with no
+collectives. `piece_upload_bytes` records the per-device link bytes so
+the scaling claim is checkable (asserted by `dryrun_multichip` and
+`tests/test_parallel.py`).
 """
 
 from __future__ import annotations
@@ -99,6 +106,24 @@ class StreamingTranscriber:
             )
             replicated = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
             self.params = jax.device_put(self.params, replicated)
+            # upload sharding: each device receives ONLY its own window span
+            # (w/N windows) plus the OVERLAP halo — per-device upload bytes
+            # are ~1/N of the single-chip path instead of N x (replication)
+            self.n_shards = mesh.devices.size
+            self.w_local = self.w // self.n_shards
+            self.row_span = self.w_local * HOP + OVERLAP
+            self._row_sharding = jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec("data", None)
+            )
+            idx_map = self._row_sharding.addressable_devices_indices_map(
+                (self.n_shards, self.row_span)
+            )
+            by_row = {(s[0].start or 0): d for d, s in idx_map.items()}
+            self._shard_devices = [by_row[i] for i in range(self.n_shards)]
+        # piece-upload accounting (bytes that crossed the host->device link),
+        # keyed by device — lets callers and the multichip dryrun verify the
+        # sharded-upload claim quantitatively
+        self.piece_upload_bytes: Dict = {}
 
         self._chunk_fn_22k = self._build(chunk_is_44k=False)
         self._chunk_fn_44k = self._build(chunk_is_44k=True)
@@ -147,19 +172,11 @@ class StreamingTranscriber:
         precision = self.precision
         config = self.config
 
-        def run(params, piece):
-            if piece.dtype == jnp.int16:
-                # int16 transport: the exact source PCM at half the tunnel bytes
-                piece = piece.astype(jnp.float32) * (1.0 / 32768.0)
-            if is_44k:
-                piece = resample_ops.decimate2(
-                    piece, precision=precision, halo=True, n_out=self.chunk_len
-                )
-            windows = _unfold_windows(piece, self.w)
+        def finish(params, windows, w):
             out = nmp.predict_fn(params, windows, config, precision=precision)
             out = {
                 k: v[:, TRIM : v.shape[1] - TRIM, :].reshape(
-                    self.w * FRAMES_PER_WINDOW, v.shape[2]
+                    w * FRAMES_PER_WINDOW, v.shape[2]
                 )
                 for k, v in out.items()
             }
@@ -170,11 +187,37 @@ class StreamingTranscriber:
             return out
 
         if self.mesh is None:
+
+            def run(params, piece):
+                if piece.dtype == jnp.int16:
+                    # int16 transport: exact source PCM at half the tunnel bytes
+                    piece = piece.astype(jnp.float32) * (1.0 / 32768.0)
+                if is_44k:
+                    piece = resample_ops.decimate2(
+                        piece, precision=precision, halo=True, n_out=self.chunk_len
+                    )
+                windows = _unfold_windows(piece, self.w)
+                return finish(params, windows, self.w)
+
             fn = jax.jit(run)
         else:
-            # multi-chip: replicate the audio piece, shard the frame axis of
-            # every output — the window batch (and everything downstream of
-            # the unfold) splits across the mesh
+            # multi-chip: the piece arrives as (n_shards, row_span) with the
+            # shard axis laid across the mesh — every device holds ONLY its
+            # own window span (+OVERLAP halo, carried in the row), so uploads
+            # scale 1/N; the unfold, model, and trim all stay shard-local and
+            # XLA inserts no collectives
+            def run(params, rows):
+                if rows.dtype == jnp.int16:
+                    rows = rows.astype(jnp.float32) * (1.0 / 32768.0)
+                if is_44k:
+                    rows = jax.vmap(
+                        lambda p: resample_ops.decimate2(
+                            p, precision=precision, halo=True, n_out=self.row_span
+                        )
+                    )(rows)
+                windows = jax.vmap(lambda p: _unfold_windows(p, self.w_local))(rows)
+                return finish(params, windows.reshape(self.w, WINDOW), self.w)
+
             pspec = jax.sharding.PartitionSpec
             shard_frames = jax.sharding.NamedSharding(self.mesh, pspec("data"))
             replicated = jax.sharding.NamedSharding(self.mesh, pspec())
@@ -183,7 +226,7 @@ class StreamingTranscriber:
                 out_spec["contour"] = shard_frames
             fn = jax.jit(
                 run,
-                in_shardings=(replicated, replicated),
+                in_shardings=(replicated, self._row_sharding),
                 out_shardings=out_spec,
             )
         self._piece_cache[(is_44k, keep_contour)] = fn
@@ -254,10 +297,86 @@ class StreamingTranscriber:
             }
         return self._zero_chunk_cache
 
+    def _count_upload(self, device, nbytes: int) -> None:
+        self.piece_upload_bytes[device] = self.piece_upload_bytes.get(device, 0) + nbytes
+
+    def _upload_piece(self, piece: np.ndarray, packed=None):
+        """Ship one chunk piece across the host->device link, counting bytes.
+
+        Single device: the 1-D piece goes to the default device (codec-packed
+        when that's smaller). Mesh: the (n_shards, row_span) piece uploads
+        row-by-row — jax transfers each row only to its shard's device, and
+        with the codec each row's packed bytes decode ON that device — so
+        per-device link traffic is ~1/N of the single-chip path (+halo).
+        """
+        if self.mesh is None:
+            if packed is not None and packed.packed_bytes < piece.nbytes:
+                self._count_upload("default", packed.packed_bytes)
+                return pcmcodec.decode_to_device(packed, len(piece))
+            self._count_upload("default", piece.nbytes)
+            return jax.device_put(piece)
+
+        span = piece.shape[1]
+        if packed is None:
+            per_row = piece.nbytes // self.n_shards
+            for dev in self._shard_devices:
+                self._count_upload(dev, per_row)
+            return jax.device_put(piece, self._row_sharding)
+
+        shards = []
+        for row, pk, dev in zip(piece, packed, self._shard_devices):
+            if pk.packed_bytes < row.nbytes:
+                self._count_upload(dev, pk.packed_bytes)
+                arr = pcmcodec.decode_to_device(pk, span, device=dev)
+            else:  # incompressible row: raw int16 is strictly cheaper
+                self._count_upload(dev, row.nbytes)
+                arr = _int16_to_f32(jax.device_put(row, dev))
+            shards.append(arr.reshape(1, span))
+        return jax.make_array_from_single_device_arrays(
+            (self.n_shards, span), self._row_sharding, shards
+        )
+
     def _pieces(self, audio: np.ndarray, is_44k: bool, n_chunks: int):
-        """Host-side chunk pieces (views where possible, zero-padded edges)."""
+        """Host-side chunk pieces (views where possible, zero-padded edges).
+
+        Single device: 1-D pieces of chunk_len samples. Mesh: (n_shards,
+        row_span) row stacks — row r of chunk c covers that shard's w/N
+        windows plus the OVERLAP halo, so each row uploads to exactly one
+        device and no device ever receives the full piece.
+        """
         pad_front = OVERLAP // 2
-        if is_44k:
+        if self.mesh is not None:
+            if is_44k:
+                row_len = 2 * self.row_span + 2 * _DEC_HALO
+                for c in range(n_chunks):
+                    yield np.stack(
+                        [
+                            _padded_slice(
+                                audio,
+                                2 * ((c * self.w + r * self.w_local) * HOP - pad_front)
+                                - _DEC_HALO,
+                                2 * ((c * self.w + r * self.w_local) * HOP - pad_front)
+                                - _DEC_HALO
+                                + row_len,
+                            )
+                            for r in range(self.n_shards)
+                        ]
+                    )
+            else:
+                for c in range(n_chunks):
+                    yield np.stack(
+                        [
+                            _padded_slice(
+                                audio,
+                                (c * self.w + r * self.w_local) * HOP - pad_front,
+                                (c * self.w + r * self.w_local) * HOP
+                                - pad_front
+                                + self.row_span,
+                            )
+                            for r in range(self.n_shards)
+                        ]
+                    )
+        elif is_44k:
             piece_len = 2 * self.chunk_len + 2 * _DEC_HALO
             for c in range(n_chunks):
                 lo = 2 * (c * self.w * HOP - pad_front) - _DEC_HALO
@@ -444,29 +563,37 @@ class StreamingTranscriber:
         # int16 pieces ship through the lossless residual codec when the
         # native packer is present — ~1.4-1.9x fewer bytes over the
         # link-bound tunnel, decoded to the exact samples in HBM
-        # (ops/pcmcodec.py; disabled on a mesh, where pieces replicate).
+        # (ops/pcmcodec.py). On a mesh, each shard row packs and decodes
+        # independently on its own device, so the codec savings apply to the
+        # per-chip uploads too.
         piece_fn = self._piece_fn(is_44k, keep_contour=keep_outputs)
-        use_codec = (
-            audio.dtype == np.int16 and self.mesh is None and pcmcodec.available()
-        )
+        use_codec = audio.dtype == np.int16 and pcmcodec.available()
         pieces = list(self._pieces(audio, is_44k, n_chunks))
         if use_codec:
             # pack on worker threads (the C++ packer releases the GIL): piece
             # c+1 packs while piece c's upload/compute is being enqueued, so
             # host-side packing stays off the dispatch critical path
-            packed_futures = [
-                self._pack_pool.submit(pcmcodec.pack, piece) for piece in pieces
-            ]
+            if self.mesh is None:
+                packed_futures = [
+                    self._pack_pool.submit(pcmcodec.pack, piece) for piece in pieces
+                ]
+            else:
+                packed_futures = [
+                    [self._pack_pool.submit(pcmcodec.pack, row) for row in piece]
+                    for piece in pieces
+                ]
         raw_outs = []
         for i, piece in enumerate(pieces):
             if use_codec:
-                packed = packed_futures[i].result()
-                if packed.packed_bytes < piece.nbytes:
-                    dev_piece = pcmcodec.decode_to_device(packed, len(piece))
-                else:  # incompressible content: raw int16 is strictly cheaper
-                    dev_piece = jax.device_put(piece)
+                packed = packed_futures[i]
+                dev_piece = self._upload_piece(
+                    piece,
+                    packed.result()
+                    if self.mesh is None
+                    else [f.result() for f in packed],
+                )
             else:
-                dev_piece = jax.device_put(piece)
+                dev_piece = self._upload_piece(piece)
             raw_outs.append(piece_fn(self.params, dev_piece))
         # decode consumes exactly {note, onset, bends}; when the contour was
         # kept for save_model_outputs it rides the ticket, not the decode fn
@@ -689,6 +816,12 @@ class StreamingTranscriber:
             return self.posteriorgrams(mono, sr)
         mono = audio_io.resample(mono, sr, constants.AUDIO_SAMPLE_RATE)
         return self.posteriorgrams(mono, constants.AUDIO_SAMPLE_RATE)
+
+
+# int16 -> scaled float32 on whatever device the (committed) input sits on;
+# used for incompressible rows of a mesh upload so every shard row shares the
+# codec path's float32 dtype
+_int16_to_f32 = jax.jit(lambda x: x.astype(jnp.float32) * (1.0 / 32768.0))
 
 
 def _padded_slice(x: np.ndarray, lo: int, hi: int) -> np.ndarray:

@@ -71,6 +71,62 @@ def test_window_parallel_transcribe(nmp_params):
 
 
 @needs_devices
+def test_sharded_uploads_are_one_over_n(nmp_params):
+    """Mesh inference uploads ~1/N of the audio bytes to each device (plus
+    the OVERLAP halo per row) instead of replicating the full piece — the
+    link is the measured bottleneck, so this is what multi-chip must scale.
+    Events stay identical to the single-device batch path."""
+    rng = np.random.RandomState(2)
+    sr = constants.AUDIO_SAMPLE_RATE
+    t = np.arange(int(10.0 * sr)) / sr
+    y32 = (0.4 * np.sin(2 * np.pi * 330.0 * t) * np.exp(-0.2 * t)).astype(np.float32)
+    y16 = (y32 * 32767).astype(np.int16)
+
+    single = pipeline.StreamingTranscriber(windows_per_chunk=8)
+    mesh = mesh_lib.make_mesh()
+    sharded = pipeline.StreamingTranscriber(windows_per_chunk=8, mesh=mesh)
+
+    (ev_single,) = single.transcribe_batch([(y16, sr)])
+    (ev_sharded,) = sharded.transcribe_batch([(y16, sr)])
+    assert len(ev_single) == len(ev_sharded) >= 1
+    for a, b in zip(sorted(ev_single), sorted(ev_sharded)):
+        assert a[2] == b[2] and a[4] == b[4]  # pitch + bends exact
+        assert abs(a[0] - b[0]) < 1e-9 and abs(a[1] - b[1]) < 1e-9
+
+    total_single = sum(single.piece_upload_bytes.values())
+    per_device = list(sharded.piece_upload_bytes.values())
+    assert len(per_device) == 8  # every device received its own shard
+    # each device's share: 1/N of the windows plus one OVERLAP halo per
+    # chunk; with the codec the packed bytes can only shrink further
+    n_chunks = len(list(sharded._pieces(y16, False, 1)))  # noqa: SLF001 - arity probe
+    raw_row_bytes = (sharded.row_span * y16.itemsize)
+    for got in per_device:
+        assert got <= 2 * raw_row_bytes  # 2 chunks for 10 s at w=8
+    assert max(per_device) < 0.35 * total_single, (
+        f"per-device upload {max(per_device)} not ~1/8 of single-device {total_single}"
+    )
+
+
+@needs_devices
+def test_sharded_upload_float32_path(nmp_params):
+    """Raw float32 recordings shard the uploads too (no codec involved)."""
+    rng = np.random.RandomState(3)
+    sr = constants.AUDIO_SAMPLE_RATE
+    y = (rng.randn(sr * 8) * 0.1).astype(np.float32)
+    mesh = mesh_lib.make_mesh()
+    sharded = pipeline.StreamingTranscriber(windows_per_chunk=8, mesh=mesh)
+    single = pipeline.StreamingTranscriber(windows_per_chunk=8)
+    (ev_m,) = sharded.transcribe_batch([(y, sr)])
+    (ev_s,) = single.transcribe_batch([(y, sr)])
+    assert [e[:3] for e in ev_m] == [e[:3] for e in ev_s]
+    per_device = sharded.piece_upload_bytes
+    assert len(per_device) == 8
+    sizes = set(per_device.values())
+    assert len(sizes) == 1  # uniform row spans
+    assert max(sizes) < 0.35 * sum(single.piece_upload_bytes.values())
+
+
+@needs_devices
 def test_data_parallel_training_matches_single_device():
     """One DP step over the mesh == the same step on one device."""
     from basic_pitch_tpu.train import loop as train_loop
