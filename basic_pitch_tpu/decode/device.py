@@ -222,7 +222,13 @@ def preprocess(
         frame_diff = jnp.maximum(jnp.minimum(diffs[0], diffs[1]), 0.0)
         frame_diff = frame_diff.at[:2].set(0.0)
         peak = jnp.max(frame_diff)
-        scaled = jnp.where(peak > 0, jnp.max(onsets) * frame_diff / peak, 0.0)
+        # ratio pinned to exactly 1 at the peak: TPU lowers f32 division to
+        # reciprocal-multiply, so x/x can land 1 ulp off 1.0 — which breaks
+        # the STRUCTURAL tie scaled[argmax(frame_diff)] == max(onsets) that
+        # the reference's rescale creates (`note_creation.py:289-311`) and
+        # flips onset peak-picking by a frame on real material
+        ratio = jnp.where(frame_diff == peak, 1.0, frame_diff / peak)
+        scaled = jnp.where(peak > 0, jnp.max(onsets) * ratio, 0.0)
         onsets = jnp.maximum(onsets, scaled)
     return frames, onsets
 

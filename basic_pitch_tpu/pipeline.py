@@ -77,6 +77,10 @@ class StreamingTranscriber:
             posteriorgrams within 1e-4 of the float32 reference; DEFAULT
             (bf16 inputs) roughly doubles throughput at reduced fidelity.
         mesh: optional Mesh with a "data" axis to shard the window batch.
+        decode_backend: "xla" (default — the while-loop decoder, fastest on
+            this runtime), "pallas" (the VMEM-slab kernel — projected faster
+            on local-PCIe production parts), or "auto" (probe both once per
+            process at init and pick the measured winner; see decode/select.py).
     """
 
     def __init__(
@@ -86,6 +90,7 @@ class StreamingTranscriber:
         windows_per_chunk: int = 128,
         precision=jax.lax.Precision.HIGHEST,
         mesh: Optional[jax.sharding.Mesh] = None,
+        decode_backend: str = "xla",
     ):
         from basic_pitch_tpu.utils import runtime
 
@@ -124,6 +129,10 @@ class StreamingTranscriber:
         # keyed by device — lets callers and the multichip dryrun verify the
         # sharded-upload claim quantitatively
         self.piece_upload_bytes: Dict = {}
+
+        from basic_pitch_tpu.decode import select as decode_select
+
+        self.decode_backend = decode_select.resolve(decode_backend)
 
         self._chunk_fn_22k = self._build(chunk_is_44k=False)
         self._chunk_fn_44k = self._build(chunk_is_44k=True)
@@ -249,6 +258,13 @@ class StreamingTranscriber:
 
         from basic_pitch_tpu.decode import device as device_decode
 
+        if self.decode_backend == "pallas":
+            from basic_pitch_tpu.decode import pallas_kernel
+
+            decode_impl = pallas_kernel.decode_pallas
+        else:
+            decode_impl = device_decode.decode
+
         def run(chunks, n_frames, onset_t, frame_t, min_len, freq_mask):
             note = jnp.concatenate([c["note"] for c in chunks])
             onset = jnp.concatenate([c["onset"] for c in chunks])
@@ -261,7 +277,7 @@ class StreamingTranscriber:
             # above-threshold scrap costs one, kept or not — measured ~45/s
             # on dense vocals), so the safety cap must grow with the frame
             # count or long files spuriously overflow into the host fallback
-            decoded = device_decode.decode(
+            decoded = decode_impl(
                 note,
                 onset,
                 onset_t,

@@ -69,6 +69,74 @@ def real_audio(seconds: float, sample_rate: int = 22050) -> np.ndarray:
     return np.tile(mono, reps)[:n]
 
 
+def measure_stages(transcriber, pcm: np.ndarray) -> dict:
+    """Synchronously time each pipeline stage for one recording.
+
+    The production path overlaps these stages (everything is enqueued
+    async); this pass serializes them with block_until_ready so the cost of
+    each is attributable: upload (host->device link, incl. codec unpack),
+    model (window+CQT+heads+trim), decode (fused note decoder), fetch
+    (device->host of events). Returns seconds per stage.
+    """
+    import jax
+
+    from basic_pitch_tpu import pipeline
+    from basic_pitch_tpu.ops import pcmcodec
+
+    tr = transcriber
+    pad_front = pipeline.OVERLAP // 2
+    n_windows = max(1, -(-(len(pcm) + pad_front) // pipeline.HOP))
+    n_chunks = -(-n_windows // tr.w)
+    n_frames = int(len(pcm) / pipeline.HOP * pipeline.FRAMES_PER_WINDOW)
+
+    pieces = list(tr._pieces(pcm, False, n_chunks))
+    piece_fn = tr._piece_fn(False)
+    use_codec = pcm.dtype == np.int16 and pcmcodec.available()
+
+    t0 = time.time()
+    dev_pieces = []
+    upload_bytes = 0
+    for piece in pieces:
+        if use_codec:
+            packed = pcmcodec.pack(piece)
+            if packed.packed_bytes < piece.nbytes:
+                upload_bytes += packed.packed_bytes
+                dev_pieces.append(pcmcodec.decode_to_device(packed, len(piece)))
+                continue
+        upload_bytes += piece.nbytes
+        dev_pieces.append(jax.device_put(piece))
+    jax.block_until_ready(dev_pieces)
+    t_upload = time.time() - t0
+
+    t0 = time.time()
+    outs = [piece_fn(tr.params, d) for d in dev_pieces]
+    jax.block_until_ready(outs)
+    t_model = time.time() - t0
+
+    decode_keys = ("note", "onset", "bends")
+    outs = [{k: c[k] for k in decode_keys} for c in outs]
+    bucket = 1 << max(0, (n_chunks - 1).bit_length())
+    outs.extend([tr._zero_chunk()] * (bucket - n_chunks))
+    decode = tr._decode_fused_fn(True, 16384, True, True, bucket)
+    t0 = time.time()
+    decoded_dev, bends_inline, _ = decode(outs, n_frames, 0.5, 0.3, 11, None)
+    jax.block_until_ready((decoded_dev, bends_inline))
+    t_decode = time.time() - t0
+
+    t0 = time.time()
+    jax.device_get((decoded_dev, bends_inline))
+    t_fetch = time.time() - t0
+
+    return {
+        "upload_s": round(t_upload, 4),
+        "model_s": round(t_model, 4),
+        "decode_s": round(t_decode, 4),
+        "fetch_s": round(t_fetch, 4),
+        "upload_bytes": upload_bytes,
+        "n_chunks": n_chunks,
+    }
+
+
 def main() -> None:
     from basic_pitch_tpu import pipeline
 
@@ -89,49 +157,77 @@ def main() -> None:
     pcm = np.clip(np.round(y * 32768.0), -32768, 32767).astype(np.int16)
     recordings.append((pcm, 22050))
 
-    # single-stream workload: one long recording (20 min) so the metric
-    # reflects steady-state streaming, not per-dispatch fixed costs
+    # single-stream workloads: one 20-min recording (steady-state streaming)
+    # and one 1-hour recording (the long-context configuration, BASELINE
+    # config 3 — previously the worst number in the table and unmeasured)
     single_seconds = 1200.0
     y = synth_audio(single_seconds, seed=7)
     single_pcm = np.clip(np.round(y * 32768.0), -32768, 32767).astype(np.int16)
+    hour_seconds = 3600.0
+    y = synth_audio(hour_seconds, seed=8)
+    hour_pcm = np.clip(np.round(y * 32768.0), -32768, 32767).astype(np.int16)
+    del y
 
     transcriber = pipeline.StreamingTranscriber(windows_per_chunk=192)
 
-    # warmup: compile chunk + decode executables at the bench shapes
+    # warmup: compile chunk + decode executables at ALL bench shapes
     # (retry once — a transient tunnel error here must not kill the bench)
     try:
         transcriber.transcribe(recordings[0][0], 22050)
     except Exception:
         transcriber.transcribe(recordings[0][0], 22050)
     transcriber.transcribe(single_pcm, 22050)
+    transcriber.transcribe(hour_pcm, 22050)
 
-    # best-of-N: tunnel throughput varies ~2-3x minute-to-minute
-    # (DESIGN.md §5); interleaving the two modes spreads each metric's
-    # samples across more tunnel weather
-    best, single, events = 0.0, 0.0, []
+    # best-of-N with the full spread recorded: tunnel throughput varies
+    # ~2-3x minute-to-minute (DESIGN.md §5); interleaving the modes spreads
+    # each metric's samples across more tunnel weather
+    batch_runs, single_runs, hour_runs, events = [], [], [], []
     failures = 0
-    for _ in range(7):
+    for round_i in range(7):
         # a tunneled remote device occasionally drops a dispatch; one bad
         # round must not lose the whole measurement
         try:
             t0 = time.time()
             results = transcriber.transcribe_batch(recordings)
-            dt = time.time() - t0
-            best = max(best, audio_seconds / dt)
+            batch_runs.append(audio_seconds / (time.time() - t0))
             events = results
 
             t0 = time.time()
             transcriber.transcribe(single_pcm, 22050)
-            single = max(single, single_seconds / (time.time() - t0))
+            single_runs.append(single_seconds / (time.time() - t0))
+
+            if round_i % 2 == 0:  # hour-scale: heavier, sample 4 of 7 rounds
+                t0 = time.time()
+                transcriber.transcribe(hour_pcm, 22050)
+                hour_runs.append(hour_seconds / (time.time() - t0))
         except Exception as err:  # noqa: BLE001 — transient PJRT/tunnel errors
             failures += 1
-            import sys, traceback
+            import sys
+            import traceback
 
             traceback.print_exc()
             print(f"bench round failed ({err!r}); continuing", file=sys.stderr)
             if failures >= 3:
                 raise
 
+    # per-stage attribution on the 20-min stream: device-only xRT and the
+    # link-bound fraction are the numbers that say what to attack next
+    try:
+        stages = measure_stages(transcriber, single_pcm)
+    except Exception:  # noqa: BLE001
+        stages = measure_stages(transcriber, single_pcm)
+    device_s = stages["model_s"] + stages["decode_s"]
+    serialized = device_s + stages["upload_s"] + stages["fetch_s"]
+
+    def stats(runs):
+        return {
+            "best": round(max(runs), 1),
+            "median": round(float(np.median(runs)), 1),
+            "spread": [round(r, 1) for r in sorted(runs)],
+        }
+
+    best = max(batch_runs)
     print(
         json.dumps(
             {
@@ -143,8 +239,23 @@ def main() -> None:
                     "n_files": n_files,
                     "audio_seconds": audio_seconds,
                     "note_events": sum(len(e) for e in events),
-                    "single_stream_x_realtime": round(single, 1),
+                    "aggregate": stats(batch_runs),
+                    "single_stream_20min": stats(single_runs),
+                    "single_stream_1hour": stats(hour_runs),
+                    "single_stream_x_realtime": round(max(single_runs), 1),
                     "single_stream_file_s": single_seconds,
+                    "stages": {
+                        **stages,
+                        "audio_s": single_seconds,
+                        "device_only_x_realtime": round(single_seconds / device_s, 1),
+                        "link_bound_fraction": round(
+                            stages["upload_s"] / serialized, 3
+                        ),
+                        "note": (
+                            "serialized per-stage pass on the 20-min stream; "
+                            "the production path overlaps these stages"
+                        ),
+                    },
                     "pipeline": "22.05kHz PCM16 -> device window+CQT+model+decode -> events",
                 },
             }

@@ -131,6 +131,44 @@ def test_edges_and_short_notes():
     _assert_same(_host_events(frames, onsets, config), _device_events(frames, onsets, config))
 
 
+def test_onset_rescale_tie_is_exact():
+    """The rescale maps the frame-diff peak EXACTLY onto max(onsets); on TPU
+    an x/x reciprocal-division could land 1 ulp off 1.0, breaking the tie
+    with an adjacent predicted-onset max and shifting peak-picking by a
+    frame (found on vocadito, round 3). The ratio is pinned to 1 at the
+    peak; this pins the invariant and the host/device agreement around it."""
+    n_frames, f = 40, 35
+    frames = np.zeros((n_frames, 88), np.float32)
+    onsets = np.zeros((n_frames, 88), np.float32)
+    # energy ramp whose biggest jump is at t=15; predicted-onset max at t=16
+    frames[10:30, f] = np.linspace(0.1, 0.95, 20, dtype=np.float32)
+    frames[15, f] = 0.9  # largest frame-to-frame jump lands at t=15
+    onsets[16, f] = 0.946964264  # the adjacent tie partner
+    onsets[20, f] = 0.3
+
+    # invariant: after preprocessing, scaled[argmax(frame_diff)] == max(onsets)
+    pframes, ponsets = dev.preprocess(
+        jnp.asarray(frames), jnp.asarray(onsets), None, infer_onsets=True
+    )
+    diffs = []
+    for lag in (1, 2):
+        padded = np.concatenate([np.zeros((lag, 88), np.float32), frames])
+        diffs.append(padded[lag:] - padded[:-lag])
+    fd = np.maximum(np.minimum(diffs[0], diffs[1]), 0.0)
+    fd[:2] = 0
+    t_peak = np.unravel_index(np.argmax(fd), fd.shape)
+    assert float(np.asarray(ponsets)[t_peak]) == float(onsets.max())
+
+    config = host.DecodeConfig(
+        onset_threshold=0.5, frame_threshold=0.3, min_note_length=5,
+        infer_onsets=True, melodia_trick=True,
+    )
+    _assert_same(
+        _host_events(frames.astype(np.float64), onsets.astype(np.float64), config),
+        _device_events(frames, onsets, config),
+    )
+
+
 @pytest.mark.skipif(not REF_FIXTURES.exists(), reason="reference fixtures unavailable")
 def test_reference_golden_parity():
     mo = np.load(REF_FIXTURES / "model_output.npz", allow_pickle=True)["arr_0"].item()

@@ -119,3 +119,22 @@ def test_long_sustained_notes_cross_slabs():
     onsets[11, 40] = 0.2
     n = _compare(frames, onsets, melodia=True)
     assert n >= 1
+
+
+def test_backend_selection_cpu_semantics():
+    """resolve(): explicit backends pass through; auto on the CPU backend
+    picks xla without racing the interpreter; bad names raise."""
+    import pytest
+
+    from basic_pitch_tpu.decode import select
+
+    assert select.resolve("xla") == "xla"
+    assert select.resolve("pallas") == "pallas"
+    result = select.probe(force=True)
+    if result["platform"] == "cpu":
+        assert result["backend"] == "xla"
+        assert result["pallas_us_per_note"] is None
+        assert "interpret" in result["note"]
+    assert select.resolve("auto") == result["backend"]
+    with pytest.raises(ValueError):
+        select.resolve("gpu")

@@ -62,6 +62,39 @@ def test_transcribe_events_match_predict(transcriber):
     assert matched >= len(ref_events) - 1  # one borderline onset may shift
 
 
+@needs_clip
+def test_decode_config_sweep_matches_host(transcriber):
+    """Off-default operating points: the fused device decode must produce
+    events identical to the pinned host decoder for every configuration —
+    threshold extremes, no-melodia, frequency constraints, long min-note
+    (CI-scale version of tools/measure_f1.py's corpus sweep; reference
+    analogue `tests/test_inference.py:105-161`)."""
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parent.parent / "tools"))
+    import measure_f1
+
+    y, _ = audio_io.load_audio(VOCADITO, constants.AUDIO_SAMPLE_RATE)
+    # add broadband noise so borderline activations stress the thresholds
+    rng = np.random.RandomState(5)
+    noisy = np.clip(y + rng.randn(len(y)).astype(np.float32) * 0.02, -1, 1)
+
+    post = transcriber.posteriorgrams(noisy, constants.AUDIO_SAMPLE_RATE)
+    checked = 0
+    for cfg in measure_f1.SWEEP_CONFIGS:
+        kwargs = {k: v for k, v in cfg.items() if k != "name"}
+        dev_ev = transcriber.transcribe(noisy, constants.AUDIO_SAMPLE_RATE, **kwargs)
+        host_ev = measure_f1.host_events_from_posteriorgrams(post, **kwargs)
+        ok, reason = measure_f1.events_identical(host_ev, dev_ev)
+        assert ok, f"{cfg['name']}: {reason}"
+        checked += 1
+        if cfg["name"] == "freq_110_880":
+            assert all(110.0 <= 440.0 * 2 ** ((p - 69) / 12) <= 881.0 for _, _, p, _, _ in host_ev)
+        if cfg["name"] == "no_melodia":
+            assert len(host_ev) >= 1
+    assert checked == len(measure_f1.SWEEP_CONFIGS)
+
+
 def test_synthetic_roundtrip_short():
     """A clean synthetic tone comes back as one note at the right pitch."""
     sr = constants.AUDIO_SAMPLE_RATE
