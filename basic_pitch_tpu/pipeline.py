@@ -51,6 +51,9 @@ WINDOW = constants.AUDIO_N_SAMPLES  # 43844
 TRIM = constants.N_OVERLAPPING_FRAMES // 2  # 15
 FRAMES_PER_WINDOW = constants.N_FRAMES_PER_WINDOW_TRIMMED  # 142
 _DEC_HALO = 128  # left context the 257-tap decimator needs
+# longest fused-decode timeline the Pallas kernel fits in scoped VMEM
+# (empirical on v5e: 54528-frame programs compile, 109056 OOM)
+PALLAS_MAX_FRAMES = 60_000
 
 
 def _unfold_windows(piece: jnp.ndarray, w: int) -> jnp.ndarray:
@@ -258,11 +261,16 @@ class StreamingTranscriber:
 
         from basic_pitch_tpu.decode import device as device_decode
 
-        if self.decode_backend == "pallas":
+        total_frames = n_chunks * self.w * FRAMES_PER_WINDOW
+        if self.decode_backend == "pallas" and total_frames <= PALLAS_MAX_FRAMES:
             from basic_pitch_tpu.decode import pallas_kernel
 
             decode_impl = pallas_kernel.decode_pallas
         else:
+            # the pallas kernel's candidate buffer and row-cache scratch scale
+            # with the timeline and blow the 16 MB scoped-VMEM budget past
+            # ~60k frames (measured: 54k compiles, 109k OOMs) — long
+            # recordings use the XLA decoder regardless of backend choice
             decode_impl = device_decode.decode
 
         def run(chunks, n_frames, onset_t, frame_t, min_len, freq_mask):

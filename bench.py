@@ -168,7 +168,12 @@ def main() -> None:
     hour_pcm = np.clip(np.round(y * 32768.0), -32768, 32767).astype(np.int16)
     del y
 
-    transcriber = pipeline.StreamingTranscriber(windows_per_chunk=192)
+    # auto backend: probe XLA-loop vs Pallas decode once and use the measured
+    # winner (pallas on this runtime, ~2x per-note; recordings past the
+    # VMEM frame gate fall back to the XLA decoder automatically)
+    transcriber = pipeline.StreamingTranscriber(
+        windows_per_chunk=192, decode_backend="auto"
+    )
 
     # warmup: compile chunk + decode executables at ALL bench shapes
     # (retry once — a transient tunnel error here must not kill the bench)
@@ -256,6 +261,7 @@ def main() -> None:
                             "the production path overlaps these stages"
                         ),
                     },
+                    "decode_backend": transcriber.decode_backend,
                     "pipeline": "22.05kHz PCM16 -> device window+CQT+model+decode -> events",
                 },
             }

@@ -109,6 +109,32 @@ def test_auto_backend_transcribes_on_hardware():
     assert len(events) == 28
 
 
+def test_train_bench_miniature_on_hardware(tmp_path):
+    """The full TRAIN_BENCH pipeline (corpus -> ETL -> loader -> timed train
+    steps -> held-out predict-path eval) runs on the real chip and records a
+    coherent artifact (VERDICT r2 #1; full run: tools/train_bench.py)."""
+    _require_tpu()
+    import json
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parent.parent / "tools"))
+    import train_bench
+
+    out = tmp_path / "TRAIN_BENCH_mini.json"
+    report = train_bench.main(
+        [
+            "--tracks", "10", "--seconds", "10", "--steps", "40",
+            "--workdir", str(tmp_path / "wd"), "--out", str(out),
+        ]
+    )
+    assert out.exists()
+    detail = json.loads(out.read_text())["detail"]
+    assert detail["final_loss"] < detail["first_loss"]
+    assert 0.0 <= detail["loader_feed_margin"] <= 1.0
+    assert detail["n_heldout_tracks"] >= 1  # 10 tracks -> 1 test track
+    assert report["value"] > 0
+
+
 def test_pcm_codec_roundtrip_on_hardware():
     _require_tpu()
     from basic_pitch_tpu.ops import pcmcodec

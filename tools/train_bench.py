@@ -1,0 +1,215 @@
+"""Real-hardware training benchmark at the design point (VERDICT r2 #1).
+
+Reproduces the reference's "download GuitarSet and train" workflow
+(`/root/reference/basic_pitch/train.py:35-168` + BASELINE config 5) end to
+end on the current accelerator and records the numbers that matter:
+
+1. corpus   — GuitarSet-layout plucked-string corpus (tools/make_guitar_corpus)
+2. ETL      — the real `bp-download guitarset` builder -> TFRecord shards
+3. training — the real `data/loader` feeding the jitted train step, with
+              per-step wall time AND per-step loader blocking time measured
+              in steady state (compile excluded)
+4. eval     — held-out tracks transcribed with the TRAINED checkpoint
+              through the standard predict path (StreamingTranscriber) and
+              scored against ground truth (mir_eval semantics)
+
+Writes ``TRAIN_BENCH.json`` at the repo root:
+  step_time_ms (p50/p90), audio-windows/s, loader feed margin (fraction of
+  step time the input pipeline hides: 1 - loader_block/step_wall),
+  loss trajectory, held-out note-F1, device.
+
+Run: ``python tools/train_bench.py`` (defaults: 40 tracks x 30 s, 2000
+steps, batch 16). A RUN_TPU_TESTS-gated test runs a miniature version.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+REPO_ROOT = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO_ROOT))
+sys.path.insert(0, str(REPO_ROOT / "tools"))
+
+
+def build_corpus_and_shards(workdir: pathlib.Path, n_tracks: int, seconds: float):
+    """Corpus synthesis + the real guitarset builder -> TFRecord shards."""
+    import make_guitar_corpus as mgc
+
+    from basic_pitch_tpu.data.datasets import guitarset
+
+    corpus = workdir / "corpus"
+    t0 = time.time()
+    mgc.make_corpus(corpus, n_tracks=n_tracks, track_seconds=seconds)
+    t_synth = time.time() - t0
+
+    shards = workdir / "shards"
+    args = guitarset.build_parser().parse_args(
+        [
+            "--source", str(corpus),
+            "--destination", str(shards),
+            "--timestamped", "false",
+            "--train-percent", "0.8",
+            "--validation-percent", "0.1",
+            "--split-seed", "7",
+        ]
+    )
+    t0 = time.time()
+    guitarset.main(args)
+    t_etl = time.time() - t0
+    return corpus, shards, {"synth_s": round(t_synth, 1), "etl_s": round(t_etl, 1)}
+
+
+def timed_training(shards, steps: int, batch_size: int, learning_rate: float,
+                   warmup_steps: int = 10, shuffle: int = 100):
+    """Train with the production loader + jitted step; time both sides."""
+    import jax
+
+    from basic_pitch_tpu.data import loader
+    from basic_pitch_tpu.models import nmp
+    from basic_pitch_tpu.train import loop as train_loop
+
+    train_iter, _ = loader.prepare_datasets(
+        str(shards), shuffle, batch_size, 2, ["guitarset"], [1.0], seed=0
+    )
+    config = train_loop.TrainConfig(learning_rate=learning_rate)
+    optimizer = train_loop.make_optimizer(config)
+    params = nmp.init_params(jax.random.PRNGKey(0))
+    opt_state = optimizer.init(params)
+    step = train_loop.build_train_step(optimizer, config)
+
+    losses = []
+    loader_ms, step_ms = [], []
+    first_loss = None
+    for i in range(steps):
+        t0 = time.time()
+        batch = next(train_iter)
+        t_loader = time.time() - t0
+
+        t0 = time.time()
+        params, opt_state, metrics = step(params, opt_state, batch)
+        loss = float(jax.device_get(metrics["loss"]))  # blocks: honest wall
+        t_step = time.time() - t0
+
+        if first_loss is None:
+            first_loss = loss
+        if i >= warmup_steps:  # steady state: compiles + cache warmup excluded
+            loader_ms.append(t_loader * 1e3)
+            step_ms.append(t_step * 1e3)
+        if i % max(1, steps // 20) == 0:
+            losses.append(round(loss, 4))
+
+    loader_ms, step_ms = np.asarray(loader_ms), np.asarray(step_ms)
+    p50 = float(np.median(step_ms))
+    feed_margin = float(np.clip(1.0 - loader_ms.sum() / step_ms.sum(), 0.0, 1.0))
+    stats = {
+        "steps": steps,
+        "batch_size": batch_size,
+        "step_time_ms_p50": round(p50, 2),
+        "step_time_ms_p90": round(float(np.percentile(step_ms, 90)), 2),
+        "windows_per_s": round(batch_size / (p50 / 1e3), 1),
+        "audio_sec_per_s": round(batch_size * 2.0 / (p50 / 1e3), 1),
+        "loader_block_ms_p50": round(float(np.median(loader_ms)), 2),
+        "loader_feed_margin": round(feed_margin, 4),
+        "first_loss": round(first_loss, 4),
+        "final_loss": losses[-1],
+        "loss_trajectory": losses,
+    }
+    return params, stats
+
+
+def heldout_f1(corpus, shards, params):
+    """Transcribe the TEST split's tracks with the trained checkpoint through
+    the standard predict path; score vs the ground-truth JAMS."""
+    import make_guitar_corpus as mgc
+
+    from basic_pitch_tpu import pipeline
+    from basic_pitch_tpu.utils import audio as audio_io
+    from basic_pitch_tpu.utils import eval as eval_metrics
+
+    import csv
+
+    with open(shards / "guitarset" / "index.csv") as fh:
+        rows = list(csv.reader(fh))
+    test_ids = sorted(tid for split, tid in rows if split == "test")
+    if not test_ids:
+        return {"heldout_note_f1": None, "n_heldout_tracks": 0}
+
+    tr = pipeline.StreamingTranscriber(params, windows_per_chunk=32)
+    scores, onset_scores = [], []
+    for track_id in test_ids:
+        wav = corpus / "audio_mono-mic" / f"{track_id}_mic.wav"
+        samples, sr = audio_io.read_wav(str(wav))
+        events = tr.transcribe(audio_io.to_mono(samples), sr)
+        est = eval_metrics.events_to_notes(events)
+        truth = mgc.truth_events(corpus, track_id)
+        onset_scores.append(eval_metrics.precision_recall_f1(truth, est)["f1"])
+        scores.append(
+            eval_metrics.precision_recall_f1(truth, est, offset_ratio=0.2)["f1"]
+        )
+    return {
+        "heldout_note_f1": round(float(np.mean(onset_scores)), 4),
+        "heldout_note_f1_with_offsets": round(float(np.mean(scores)), 4),
+        "n_heldout_tracks": len(test_ids),
+    }
+
+
+def main(argv=None) -> dict:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--tracks", type=int, default=40)
+    ap.add_argument("--seconds", type=float, default=30.0)
+    ap.add_argument("--steps", type=int, default=2000)
+    ap.add_argument("--batch-size", type=int, default=16)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--workdir", default=None, help="reuse a directory (default: temp)")
+    ap.add_argument("--out", default=str(REPO_ROOT / "TRAIN_BENCH.json"))
+    args = ap.parse_args(argv)
+
+    import jax
+
+    workdir = pathlib.Path(args.workdir or tempfile.mkdtemp(prefix="train_bench_"))
+    workdir.mkdir(parents=True, exist_ok=True)
+    print(f"workdir: {workdir}")
+
+    corpus, shards, etl_stats = build_corpus_and_shards(workdir, args.tracks, args.seconds)
+    print(f"corpus+ETL: {etl_stats}")
+
+    params, train_stats = timed_training(shards, args.steps, args.batch_size, args.lr)
+    print(f"training: {train_stats}")
+
+    f1_stats = heldout_f1(corpus, shards, params)
+    print(f"held-out: {f1_stats}")
+
+    report = {
+        "metric": "train_step_audio_windows_per_s",
+        "value": train_stats["windows_per_s"],
+        "unit": "windows_per_s",
+        "detail": {
+            "device": str(jax.devices()[0]),
+            "corpus": {
+                "n_tracks": args.tracks,
+                "track_seconds": args.seconds,
+                "layout": "guitarset (audio_mono-mic + per-string JAMS)",
+            },
+            **etl_stats,
+            **train_stats,
+            **f1_stats,
+            "pipeline": (
+                "make_guitar_corpus -> bp-download guitarset -> data/loader "
+                "-> jitted train step -> StreamingTranscriber eval"
+            ),
+        },
+    }
+    pathlib.Path(args.out).write_text(json.dumps(report, indent=2))
+    print(f"wrote {args.out}")
+    return report
+
+
+if __name__ == "__main__":
+    main()
