@@ -305,9 +305,14 @@ def _unpack_scatter_fn(k: int, rows_bucket: int, order: int):
     pos = np.arange(payload_len(order)) * k
     cols0 = (pos >> 5).astype(np.int32)
     cols1 = np.minimum(cols0 + 1, wpb - 1)
-    shifts = jnp.asarray((pos & 31).astype(np.uint32))
-    mask = jnp.uint32((1 << k) - 1)
-    sign = jnp.int32(1 << (k - 1))
+    # NUMPY closure constants, never jnp: a captured device array becomes an
+    # MLIR constant whose VALUE is fetched from the device at lowering time —
+    # a blocking d2h round trip (~1 s through the tunnel) per novel
+    # (width, bucket, order) executable (measured 539 s over an hour-scale
+    # recording's 166 codec compiles before this fix)
+    shifts = (pos & 31).astype(np.uint32)
+    mask = np.uint32((1 << k) - 1)
+    sign = np.int32(1 << (k - 1))
 
     def run(buf, words, word_off, idx):
         stream = lax.dynamic_slice(words, (word_off,), (rows_bucket * wpb,))

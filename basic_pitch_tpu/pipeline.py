@@ -630,6 +630,12 @@ class StreamingTranscriber:
         # call) so the jit pytree structure matches the bucket exactly
         bucket = 1 << max(0, (n_chunks - 1).bit_length())
         outs.extend([self._zero_chunk()] * (bucket - n_chunks))
+        # note capacity scales with the bucket (1 note per 8 frames ≈ 10.8
+        # notes/s sustained, ~3x the densest real material measured):
+        # hour-scale recordings decode >16384 events, and overflow is
+        # expensive — the host fallback re-runs the model and fetches full
+        # posteriorgrams. The caller's max_notes acts as a floor.
+        max_notes = max(max_notes, bucket * self.w * FRAMES_PER_WINDOW // 8)
         decode = self._decode_fused_fn(
             include_pitch_bends, max_notes, infer_onsets, melodia_trick, bucket
         )

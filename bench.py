@@ -117,7 +117,9 @@ def measure_stages(transcriber, pcm: np.ndarray) -> dict:
     outs = [{k: c[k] for k in decode_keys} for c in outs]
     bucket = 1 << max(0, (n_chunks - 1).bit_length())
     outs.extend([tr._zero_chunk()] * (bucket - n_chunks))
-    decode = tr._decode_fused_fn(True, 16384, True, True, bucket)
+    # same auto-scaled note capacity as _dispatch (shares its executable)
+    max_notes = max(16384, bucket * tr.w * pipeline.FRAMES_PER_WINDOW // 8)
+    decode = tr._decode_fused_fn(True, max_notes, True, True, bucket)
     t0 = time.time()
     decoded_dev, bends_inline, _ = decode(outs, n_frames, 0.5, 0.3, 11, None)
     jax.block_until_ready((decoded_dev, bends_inline))
@@ -175,14 +177,23 @@ def main() -> None:
         windows_per_chunk=192, decode_backend="auto"
     )
 
+    import sys
+
+    def note(msg):  # progress to stderr; stdout stays one JSON line
+        print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
+    note(f"decode backend: {transcriber.decode_backend}")
     # warmup: compile chunk + decode executables at ALL bench shapes
     # (retry once — a transient tunnel error here must not kill the bench)
     try:
         transcriber.transcribe(recordings[0][0], 22050)
     except Exception:
         transcriber.transcribe(recordings[0][0], 22050)
+    note("warm: 10-min batch shapes")
     transcriber.transcribe(single_pcm, 22050)
+    note("warm: 20-min shapes")
     transcriber.transcribe(hour_pcm, 22050)
+    note("warm: 1-hour shapes")
 
     # best-of-N with the full spread recorded: tunnel throughput varies
     # ~2-3x minute-to-minute (DESIGN.md §5); interleaving the modes spreads
@@ -206,6 +217,11 @@ def main() -> None:
                 t0 = time.time()
                 transcriber.transcribe(hour_pcm, 22050)
                 hour_runs.append(hour_seconds / (time.time() - t0))
+            note(
+                f"round {round_i + 1}/7: batch {batch_runs[-1]:.0f}x, "
+                f"single {single_runs[-1]:.0f}x"
+                + (f", hour {hour_runs[-1]:.0f}x" if round_i % 2 == 0 else "")
+            )
         except Exception as err:  # noqa: BLE001 — transient PJRT/tunnel errors
             failures += 1
             import sys

@@ -95,6 +95,22 @@ def test_decode_config_sweep_matches_host(transcriber):
     assert checked == len(measure_f1.SWEEP_CONFIGS)
 
 
+def test_note_capacity_scales_with_bucket():
+    """Decode note capacity grows with the recording's chunk bucket (1 note
+    per 8 frames) so hour-scale recordings don't hit the fixed cap and pay
+    the expensive overflow fallback; the caller's max_notes is a floor."""
+    sr = constants.AUDIO_SAMPLE_RATE
+    tr = pipeline.StreamingTranscriber(windows_per_chunk=4)
+    y = np.zeros(int(40.0 * sr), np.float32)  # 25 windows at w=4 -> bucket 8
+    tr.transcribe(y, sr, max_notes=16)
+    # cache key: (include_bends, max_notes, infer_onsets, melodia, bucket)
+    keys = list(tr._decode_cache.keys())
+    assert len(keys) == 1
+    _, max_notes, _, _, bucket = keys[0]
+    assert bucket == 8
+    assert max_notes == max(16, bucket * 4 * pipeline.FRAMES_PER_WINDOW // 8) == 568
+
+
 def test_synthetic_roundtrip_short():
     """A clean synthetic tone comes back as one note at the right pitch."""
     sr = constants.AUDIO_SAMPLE_RATE
