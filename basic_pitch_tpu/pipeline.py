@@ -143,6 +143,7 @@ class StreamingTranscriber:
         # worker threads for the GIL-releasing C++ packer (see _dispatch)
         self._pack_pool = concurrent.futures.ThreadPoolExecutor(max_workers=2)
         self._decode_cache = {}
+        self._shrink_cache = {}
 
     def close(self) -> None:
         """Release the packer worker threads (idempotent).
@@ -306,6 +307,48 @@ class StreamingTranscriber:
 
         fn = jax.jit(run)
         self._decode_cache[key] = fn
+        return fn
+
+    # minimum shrunk note capacity — below this rung the per-executable and
+    # per-dispatch overheads outweigh the bytes saved (1024 slots is ~278 KB
+    # of note + bend buffers)
+    _SHRINK_MIN_NOTES = 1024
+
+    @classmethod
+    def _shrink_bucket(cls, n_notes: int, capacity: int) -> int:
+        """Pow2 fetch bucket for `n_notes` valid slots (or `capacity` when
+        shrinking wouldn't reduce the transfer)."""
+        out_cap = cls._SHRINK_MIN_NOTES
+        while out_cap < n_notes:
+            out_cap *= 2
+        return out_cap if out_cap < capacity else capacity
+
+    def _shrink_fn(self, include_bends: bool, out_cap: int):
+        """Jitted copy of the leading `out_cap` note slots.
+
+        The device->host direction of the tunneled link runs ~15 MB/s (h2d is
+        ~3x faster), and the inline bend buffer alone is 256 B per slot — so
+        fetching capacity-sized buffers (16k slots for short files, 66k for
+        hour-scale) costs 0.3-1.1 s when only a few thousand slots are real.
+        Fetching the count first and then a pow2-bucketed slice costs two
+        ~28 ms round trips plus only the real bytes.
+        """
+        key = (include_bends, out_cap)
+        fn = self._shrink_cache.get(key)
+        if fn is None:
+
+            def run(decoded, bends_inline):
+                shrunk = decoded._replace(
+                    starts=decoded.starts[:out_cap],
+                    ends=decoded.ends[:out_cap],
+                    pitches=decoded.pitches[:out_cap],
+                    amplitudes=decoded.amplitudes[:out_cap],
+                )
+                bends = bends_inline[:out_cap] if include_bends else None
+                return shrunk, bends
+
+            fn = jax.jit(run)
+            self._shrink_cache[key] = fn
         return fn
 
     def _zero_chunk(self):
@@ -651,7 +694,8 @@ class StreamingTranscriber:
         # device each async copy stalls the stream for tens of seconds on its
         # first use (measured 176-266 s for 7 leaves cold vs 6 s without;
         # warm-process difference is <1 s either way). _collect/_collect_many
-        # fetch everything in one blocking device_get instead.
+        # fetch via two batched blocking device_gets instead (note counts,
+        # then count-sized buffer slices — see _shrink_fn).
         return {
             "n_frames": n_frames,
             "decoded_dev": decoded_dev,
@@ -678,16 +722,50 @@ class StreamingTranscriber:
             ),
         }
 
-    def _collect_many(self, tickets):
-        """Fetch all dispatched recordings' buffers in ONE device_get, then
-        assemble events per recording — a single blocking round trip through
-        the device link instead of one per recording."""
-        fetched = jax.device_get(
-            [
-                (t["decoded_dev"], t["bends_inline_dev"], t["chunk_outs_dev"])
-                for t in tickets
-            ]
+    def _fetch_tickets(self, tickets):
+        """Fetch dispatched recordings' decode buffers in TWO batched round
+        trips: the note counts first, then every buffer sliced to the pow2
+        bucket of its actual count (`_shrink_fn`). Overflowed tickets skip
+        the buffer fetch entirely — `_assemble` re-decodes on host and never
+        reads the truncated buffers. Returns
+        [(decoded, bends_inline, chunk_outs), ...] on host.
+        """
+        from basic_pitch_tpu.decode import device as device_decode
+
+        metas = jax.device_get(
+            [(t["decoded_dev"].n_notes, t["decoded_dev"].overflow) for t in tickets]
         )
+        to_get = []
+        for ticket, (n_notes, overflow) in zip(tickets, metas):
+            decoded_dev = ticket["decoded_dev"]
+            bends_dev = ticket["bends_inline_dev"]
+            if bool(overflow):
+                stub = device_decode.DecodedNotes(
+                    starts=np.zeros(0, np.int32),
+                    ends=np.zeros(0, np.int32),
+                    pitches=np.zeros(0, np.int32),
+                    amplitudes=np.zeros(0, np.float32),
+                    n_notes=np.int32(n_notes),
+                    overflow=np.bool_(True),
+                )
+                to_get.append((stub, None, ticket["chunk_outs_dev"]))
+                continue
+            capacity = int(decoded_dev.starts.shape[0])
+            out_cap = self._shrink_bucket(int(n_notes), capacity)
+            if out_cap < capacity and self.mesh is None:
+                shrunk, bends = self._shrink_fn(bends_dev is not None, out_cap)(
+                    decoded_dev, bends_dev
+                )
+                to_get.append((shrunk, bends, ticket["chunk_outs_dev"]))
+            else:
+                to_get.append((decoded_dev, bends_dev, ticket["chunk_outs_dev"]))
+        return jax.device_get(to_get)
+
+    def _collect_many(self, tickets):
+        """Fetch all dispatched recordings' buffers in two batched round
+        trips (counts, then count-sized buffers), then assemble events per
+        recording — instead of one round trip per recording."""
+        fetched = self._fetch_tickets(tickets)
         return [
             self._assemble(ticket, decoded, bends_inline, chunk_outs)
             for ticket, (decoded, bends_inline, chunk_outs) in zip(tickets, fetched)
@@ -695,9 +773,7 @@ class StreamingTranscriber:
 
     def _collect(self, ticket):
         """Block on one dispatched recording and assemble its note events."""
-        decoded, bends_inline, chunk_outs = jax.device_get(
-            (ticket["decoded_dev"], ticket["bends_inline_dev"], ticket["chunk_outs_dev"])
-        )
+        ((decoded, bends_inline, chunk_outs),) = self._fetch_tickets([ticket])
         return self._assemble(ticket, decoded, bends_inline, chunk_outs)
 
     def _assemble(self, ticket, decoded, bends_inline, chunk_outs=None):

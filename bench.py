@@ -125,8 +125,12 @@ def measure_stages(transcriber, pcm: np.ndarray) -> dict:
     jax.block_until_ready((decoded_dev, bends_inline))
     t_decode = time.time() - t0
 
+    # same two-round-trip shrunk fetch as _fetch_tickets: count first, then
+    # a pow2-bucketed slice of the real note slots
     t0 = time.time()
-    jax.device_get((decoded_dev, bends_inline))
+    n_notes, _overflow = jax.device_get((decoded_dev.n_notes, decoded_dev.overflow))
+    out_cap = tr._shrink_bucket(int(n_notes), int(decoded_dev.starts.shape[0]))
+    jax.device_get(tr._shrink_fn(True, out_cap)(decoded_dev, bends_inline))
     t_fetch = time.time() - t0
 
     return {

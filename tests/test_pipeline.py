@@ -111,6 +111,49 @@ def test_note_capacity_scales_with_bucket():
     assert max_notes == max(16, bucket * 4 * pipeline.FRAMES_PER_WINDOW // 8) == 568
 
 
+def test_shrink_bucket():
+    """Fetch bucket: pow2 from the 1024 floor, clamped to capacity."""
+    b = pipeline.StreamingTranscriber._shrink_bucket
+    assert b(0, 16384) == 1024
+    assert b(28, 16384) == 1024
+    assert b(1025, 16384) == 2048
+    assert b(16931, 66048) == 32768
+    assert b(60000, 66048) == 65536  # barely under capacity still shrinks
+    assert b(16000, 16384) == 16384  # no rung below capacity -> full fetch
+    assert b(5, 512) == 512  # tiny capacity: floor exceeds it, full fetch
+
+
+@needs_clip
+def test_fetch_shrinks_to_note_bucket(transcriber):
+    """Collect fetches count-bucketed slices, not capacity-sized buffers:
+    the vocadito clip decodes ~28 notes, so the shrink executable for the
+    1024-slot floor bucket must be in the cache after a transcribe."""
+    raw, sr = audio_io.read_wav(VOCADITO)
+    events = transcriber.transcribe(audio_io.to_mono(raw), sr)
+    assert len(events) > 0
+    assert (True, 1024) in transcriber._shrink_cache
+
+
+@needs_clip
+def test_overflow_ticket_skips_buffer_fetch(transcriber):
+    """An overflowed decode must not fetch (truncated) buffers — _assemble
+    falls back to the host decoder and produces the same events."""
+    import jax.numpy as jnp
+
+    raw, sr = audio_io.read_wav(VOCADITO)
+    y = audio_io.to_mono(raw)
+    expected = transcriber.transcribe(y, sr)
+
+    ticket = transcriber._dispatch(y, sr, 0.5, 0.3, 11, None, None, True, True, True, 16384)
+    ticket["decoded_dev"] = ticket["decoded_dev"]._replace(overflow=jnp.bool_(True))
+    ((decoded, bends, chunk_outs),) = transcriber._fetch_tickets([ticket])
+    assert bool(decoded.overflow) and decoded.starts.size == 0 and bends is None
+    events = transcriber._assemble(ticket, decoded, bends, chunk_outs)
+    assert len(events) == len(expected)
+    for a, b in zip(sorted(events), sorted(expected)):
+        assert a[2] == b[2] and abs(a[0] - b[0]) < 1e-6 and abs(a[1] - b[1]) < 1e-6
+
+
 def test_synthetic_roundtrip_short():
     """A clean synthetic tone comes back as one note at the right pitch."""
     sr = constants.AUDIO_SAMPLE_RATE
