@@ -16,11 +16,22 @@ fuzz-tested against the XLA decoder in `tests/test_pallas_decode.py`.
 
 Layout notes (see /opt/skills/guides/pallas_guide.md):
   * `remaining` (F_PAD=96, T) f32 stays in HBM/ANY (19 MB for 10 min of
-    audio, exceeding VMEM); per note the kernel DMAs 4-row slabs in, scans,
+    audio, exceeding VMEM); per note the kernel DMAs 16-row slabs in, scans,
     zeroes, and DMAs them back. F is padded to 96 rows so the +/-1-row
     zeroing slab of the top frequency stays in bounds.
   * run-length scans use log-doubling max/min over lanes (`pltpu.roll`
-    with iota masks) — a (1, SLAB) cummax in 10 steps.
+    with iota masks) — a (1, SLAB) cummax in 10 steps. Scans longer than
+    one slab carry their run-length state slab-to-slab (the cummax/cummin
+    algebra is associative), so NO scratch scales with the timeline and the
+    kernel serves hour-scale recordings.
+  * melodia's global argmax is maintained via per-(row, slab-block) maxima
+    and first-occurrence times in VMEM ((96, T/SLAB) tables, ~250 KB/hour):
+    each zeroing pass refreshes the touched blocks from the slab it already
+    holds, and the per-row aggregates reduce over the tables without
+    touching HBM — the analogue of the XLA decoder's incremental
+    `_refresh_stats` (device.py:468-479) at constant VMEM.
+  * the onset candidate order (k ~ n_frames ids at hour scale) lives in
+    HBM/ANY and is DMA-staged 128 lanes at a time.
   * notes are emitted field-per-row into a (8, max_notes) int32 VMEM
     buffer [start; end; midi pitch; bitcast(amp); ...pad] — lane-major so
     the tile padding stays small.
@@ -76,47 +87,12 @@ def _cummin_rev_lanes(x: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
-def _forward_scan_row(col, t0, thresh, tol, t_end):
-    """`device._forward_scan` on a (1, n) row; returns scalar (end, i_final, found)."""
-    n = col.shape[1]
-    pos = _lane_iota(n)
-    above = (col >= thresh) | (pos <= t0)
-    last_above = _cummax_lanes(jnp.where(above, pos, -1))
-    consec = pos - last_above
-    in_range = (consec >= tol) & (pos >= t0 + 1) & (pos <= t_end - 2)
-    t_stop = jnp.min(jnp.where(in_range, pos, n))
-    found = t_stop < n
-    tail_idx = jnp.clip(t_end - 2, 0, n - 1)
-    consec_tail = jnp.sum(jnp.where(pos == tail_idx, consec, 0))
-    k_nostop = jnp.where(t_end - 2 >= t0 + 1, consec_tail, 0)
-    i_final = jnp.where(found, t_stop + 1, jnp.maximum(t0 + 1, t_end - 1))
-    k_final = jnp.where(found, tol, k_nostop)
-    return i_final - k_final, i_final, found
-
-
-def _backward_scan_row(col, t0, thresh, tol):
-    """`device._backward_scan` on a (1, n) row; scalar (start, i_final, found)."""
-    n = col.shape[1]
-    pos = _lane_iota(n)
-    above = (col >= thresh) | (pos >= t0)
-    next_above = _cummin_rev_lanes(jnp.where(above, pos, n + 1))
-    consec = next_above - pos
-    in_range = (consec >= tol) & (pos <= t0 - 1) & (pos >= 1)
-    t_stop = jnp.max(jnp.where(in_range, pos, -1))
-    found = t_stop >= 0
-    consec_1 = jnp.sum(jnp.where(pos == 1, consec, 0))
-    k_nostop = jnp.where(t0 - 1 >= 1, consec_1, 0)
-    i_final = jnp.where(found, t_stop - 1, jnp.minimum(t0 - 1, 0))
-    k_final = jnp.where(found, tol, k_nostop)
-    return i_final + 1 + k_final, i_final, found
-
-
 def _decode_kernel(
     # scalar-prefetch
     iparams_ref,  # SMEM (6,): n_onsets, t_end, min_note_len, energy_tol, max_melodia_iters, melodia_on
     fparams_ref,  # SMEM (1,): frame_thresh
     # inputs
-    order_ref,  # VMEM (8, max_notes) int32 — row 0 holds flat onset ids (-1 pad)
+    order_hbm,  # ANY (8, k_pad) int32 — row 0 holds flat onset ids (-1 pad)
     frames_hbm,  # ANY (F_PAD, T) f32 original frames (rows 88.. zero)
     # outputs
     notes_ref,  # VMEM (8, max_notes) int32: rows start/end/pitch/amp-bits
@@ -125,13 +101,17 @@ def _decode_kernel(
     # scratch
     slab,  # VMEM (16, SLAB) f32 — 8-aligned band containing freq-1..freq+1
     fslab,  # VMEM (16, SLAB) f32 — frames slab for amplitudes
-    row_full,  # VMEM (16, T) f32
+    order_slab,  # VMEM (8, 128) i32 — staged onset-order block
     sem,  # DMA semaphores (4,)
     rowmax_ref,  # VMEM (8, 128) f32 melodia row maxima (sublane 0, lanes 0..F)
     tfirst_ref,  # VMEM (8, 128) i32
+    bmax_ref,  # VMEM (96, NB_PAD) f32 — per-(row, block) max of `remaining`
+    btf_ref,  # VMEM (96, NB_PAD) i32 — first abs position achieving block max
 ):
     T = frames_hbm.shape[1]
     slab_w = slab.shape[1]  # min(SLAB, T): small inputs degenerate to full rows
+    nb_total = T // slab_w  # T is always a multiple of slab_w
+    nb_pad = bmax_ref.shape[1]
     max_notes = notes_ref.shape[1]
     n_onsets = iparams_ref[0]
     t_end = iparams_ref[1]
@@ -142,7 +122,6 @@ def _decode_kernel(
     frame_thresh = fparams_ref[0]
 
     pos_s = _lane_iota(slab_w)
-    pos_t = _lane_iota(T)
 
     meta_ref[0] = 0  # n_notes
     meta_ref[1] = 0  # overflow
@@ -155,7 +134,7 @@ def _decode_kernel(
 
     def dma_in(dst, src_hbm, row0, col0, width, slot):
         copy = pltpu.make_async_copy(
-            src_hbm.at[pl.ds(row0, 16), pl.ds(col0, width)],
+            src_hbm.at[pl.ds(row0, dst.shape[0]), pl.ds(col0, width)],
             dst.at[:, pl.ds(0, width)],
             sem.at[slot],
         )
@@ -165,7 +144,7 @@ def _decode_kernel(
     def dma_out(src, dst_hbm, row0, col0, width, slot):
         copy = pltpu.make_async_copy(
             src.at[:, pl.ds(0, width)],
-            dst_hbm.at[pl.ds(row0, 16), pl.ds(col0, width)],
+            dst_hbm.at[pl.ds(row0, src.shape[0]), pl.ds(col0, width)],
             sem.at[slot],
         )
         copy.start()
@@ -206,10 +185,13 @@ def _decode_kernel(
 
     # ---------------- stage 1: onset notes ----------------
     def onset_body(i, _):
-        # lane-dim dynamic loads must be 128-aligned: read the aligned block
-        # containing element i and mask-extract the scalar
+        # the order buffer lives in HBM (k ~ n_frames ids at hour scale blows
+        # VMEM); DMA the 128-lane block containing element i and mask-extract
+        # the scalar. Sequential consumption means each block is fetched ~128
+        # times — a (8, 128) i32 DMA is ~1-2 us against the ~30 us iteration.
         blk_start = pl.multiple_of((i // 128) * 128, 128)
-        blk = order_ref[pl.ds(0, 1), pl.ds(blk_start, 128)]
+        dma_in(order_slab, order_hbm, 0, blk_start, 128, 3)
+        blk = order_slab[pl.ds(0, 1), :]
         flat = jnp.sum(jnp.where(_lane_iota(128) == i % 128, blk, 0))
         t0 = flat // F
         freq = flat % F
@@ -295,29 +277,67 @@ def _decode_kernel(
     lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
     sub = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
     live = (sub == 0) & (lane < F)
+    blane = jax.lax.broadcasted_iota(jnp.int32, (16, nb_pad), 1)
+
+    def update_block_stats(row0, nb):
+        """Refresh bmax/btf for the 16-row band at `row0`, block `nb`, from
+        the (freshly written) slab currently in VMEM. Rows the zeroing didn't
+        touch recompute to their stored values — harmless."""
+        rmax = jnp.max(slab[:, :], axis=1, keepdims=True)  # (16, 1)
+        pos_abs = pos_s + nb * slab_w
+        tfb = jnp.min(
+            jnp.where(
+                slab[:, :] == rmax, jnp.broadcast_to(pos_abs, slab.shape), INT_MAX
+            ),
+            axis=1,
+            keepdims=True,
+        ).astype(jnp.int32)
+        blk = pl.multiple_of((nb // 128) * 128, 128)
+        sel = _lane_iota(128) == nb % 128
+        cur_b = bmax_ref[pl.ds(row0, 16), pl.ds(blk, 128)]
+        bmax_ref[pl.ds(row0, 16), pl.ds(blk, 128)] = jnp.where(sel, rmax, cur_b)
+        cur_t = btf_ref[pl.ds(row0, 16), pl.ds(blk, 128)]
+        btf_ref[pl.ds(row0, 16), pl.ds(blk, 128)] = jnp.where(sel, tfb, cur_t)
+
+    def refresh_band(row0):
+        """Rowmax/tfirst lanes [row0, row0+16) from the block tables — pure
+        VMEM reduces, no HBM traffic. tfirst = the first position achieving
+        the row max: the first block whose block max equals it holds that
+        position as its block tfirst (blocks are in time order)."""
+        bb = bmax_ref[pl.ds(row0, 16), :]  # (16, NB_PAD)
+        m = jnp.max(bb, axis=1, keepdims=True)  # (16, 1)
+        bfirst = jnp.min(jnp.where(bb == m, blane, INT_MAX), axis=1, keepdims=True)
+        tb = btf_ref[pl.ds(row0, 16), :]
+        tfirst = jnp.min(
+            jnp.where(blane == bfirst, tb, INT_MAX), axis=1, keepdims=True
+        )
+        for j in range(16):
+            sel = live & (lane == row0 + j) & (row0 + j < F)
+            rowmax_ref[:, :] = jnp.where(sel, m[j, 0], rowmax_ref[:, :])
+            tfirst_ref[:, :] = jnp.where(sel, tfirst[j, 0], tfirst_ref[:, :])
 
     @pl.when(melodia_on > 0)
     def _():
-        # initial per-row maxima + first occurrence, 4 rows at a time
         rowmax_ref[:, :] = jnp.full((8, 128), NEG, jnp.float32)
         tfirst_ref[:, :] = jnp.zeros((8, 128), jnp.int32)
+        # padding block lanes must never win a reduce
+        bmax_ref[:, :] = jnp.full((F_PAD, nb_pad), NEG, jnp.float32)
+        btf_ref[:, :] = jnp.full((F_PAD, nb_pad), INT_MAX, jnp.int32)
 
-        def init_block(b, _):
-            dma_in(row_full, remaining, pl.multiple_of(b * 16, 8), 0, T, 0)
-            rows = row_full[:, :]
-            rmax = jnp.max(rows, axis=1, keepdims=True)  # (16, 1)
-            tfirst = jnp.min(
-                jnp.where(rows == rmax, jnp.broadcast_to(pos_t, rows.shape), INT_MAX),
-                axis=1,
-                keepdims=True,
-            ).astype(jnp.int32)
-            for j in range(16):
-                sel = live & (lane == b * 16 + j)
-                rowmax_ref[:, :] = jnp.where(sel, rmax[j, 0], rowmax_ref[:, :])
-                tfirst_ref[:, :] = jnp.where(sel, tfirst[j, 0], tfirst_ref[:, :])
+        # build the block tables + per-row aggregates, band by band
+        def init_band(band, _):
+            row0 = pl.multiple_of(band * 16, 8)
+
+            def init_blk(nb, _):
+                dma_in(slab, remaining, row0, nb * slab_w, slab_w, 0)
+                update_block_stats(row0, nb)
+                return 0
+
+            jax.lax.fori_loop(0, nb_total, init_blk, 0)
+            refresh_band(row0)
             return 0
 
-        jax.lax.fori_loop(0, (F_PAD + 15) // 16, init_block, 0)
+        jax.lax.fori_loop(0, F_PAD // 16, init_band, 0)
 
         def melodia_cond(it):
             peak = jnp.max(rowmax_ref[:, :])
@@ -337,58 +357,143 @@ def _decode_kernel(
             row0 = pl.multiple_of(jnp.clip(((freq - 1) // 8) * 8, 0, F_PAD - 16), 8)
             center = freq - row0
             row_ids = _row_iota16() + row0
-
-            # full-row scans — unconditional (see the onset-stage note on
-            # lax.cond); melodia notes are few, so O(T) per note is fine
-            dma_in(row_full, remaining, row0, 0, T, 0)
-            col = pick_row(row_full[:, :], center)
-            col = jnp.where(pos_t == t_mid, 0.0, col)
-            fwd_end, fwd_final, _ = _forward_scan_row(
-                col, t_mid, frame_thresh, energy_tol, t_end
-            )
-            bwd_start, bwd_final, _ = _backward_scan_row(
-                col, t_mid, frame_thresh, energy_tol
-            )
-            i_start, i_end = bwd_start, fwd_end - 1
-            visited_lo, visited_hi = bwd_final + 1, fwd_final
-
-            # zero the claimed region on the full-length rows (row_full
-            # already holds them), then refresh the maxima from the same
-            # buffer
-            visited = ((pos_t >= visited_lo) & (pos_t < t_mid)) | (
-                (pos_t >= t_mid + 1) & (pos_t < visited_hi)
-            )
-            center_mask = visited | (pos_t == t_mid)
             is_center_row = row_ids == freq
             is_neighbor = (jnp.abs(row_ids - freq) == 1) & (row_ids < F)
-            # boolean algebra instead of a bool-typed where (Mosaic rejects
-            # i1 selects with mixed broadcast shapes)
-            mask = (is_center_row & center_mask) | (is_neighbor & visited)
-            row_full[:, :] = jnp.where(mask, 0.0, row_full[:, :])
-            dma_out(row_full, remaining, row0, 0, T, 1)
+            # NOTE: device.decode zeroes col[t_mid] before its scans; that is
+            # a no-op for the run-length algebra (both scans' `above` terms
+            # already include t_mid positionally), so the slab loops skip it.
 
-            rows = row_full[:, :]
-            rmax = jnp.max(rows, axis=1, keepdims=True)
-            tfirst = jnp.min(
-                jnp.where(rows == rmax, jnp.broadcast_to(pos_t, rows.shape), INT_MAX),
-                axis=1,
-                keepdims=True,
-            ).astype(jnp.int32)
-            for j in range(16):
-                sel = live & (lane == row0 + j) & (row0 + j < F)
-                rowmax_ref[:, :] = jnp.where(sel, rmax[j, 0], rowmax_ref[:, :])
-                tfirst_ref[:, :] = jnp.where(sel, tfirst[j, 0], tfirst_ref[:, :])
+            # --- forward scan from t_mid: slab loop, carried run lengths
+            # (same associative cummax algebra as the onset stage) ---
+            s0_first = pl.multiple_of(
+                jnp.clip((t_mid // slab_w) * slab_w, 0, T - slab_w), 128
+            )
 
+            def fcond(state):
+                s0, _, _, t_stop = state
+                return (t_stop == INT_MAX) & (s0 <= t_end - 2) & (s0 < T)
+
+            def fbody(state):
+                s0, la_in, la_tail_in, _ = state
+                s0 = pl.multiple_of(s0, 128)
+                dma_in(slab, remaining, row0, s0, slab_w, 0)
+                col = pick_row(slab[:, :], center)
+                pos_abs = pos_s + s0
+                above = (col >= frame_thresh) | (pos_abs <= t_mid)
+                la_vec = jnp.maximum(
+                    _cummax_lanes(jnp.where(above, pos_abs, -1)), la_in
+                )
+                consec = pos_abs - la_vec
+                in_range = (consec >= energy_tol) & (pos_abs >= t_mid + 1) & (
+                    pos_abs <= t_end - 2
+                )
+                t_stop = jnp.min(jnp.where(in_range, pos_abs, INT_MAX))
+                la_out = jnp.max(la_vec)
+                tail = t_end - 2
+                la_tail = jnp.sum(jnp.where(pos_abs == tail, la_vec, 0))
+                has_tail = (tail >= s0) & (tail < s0 + slab_w)
+                la_tail_out = jnp.where(has_tail, la_tail, la_tail_in)
+                return s0 + slab_w, la_out, la_tail_out, t_stop
+
+            _, _, la_tail, t_stop = jax.lax.while_loop(
+                fcond, fbody, (s0_first, jnp.int32(-1), jnp.int32(-1), INT_MAX)
+            )
+            ffound = t_stop < INT_MAX
+            fk_nostop = jnp.where(t_end - 2 >= t_mid + 1, (t_end - 2) - la_tail, 0)
+            fwd_final = jnp.where(
+                ffound, t_stop + 1, jnp.maximum(t_mid + 1, t_end - 1)
+            )
+            fwd_end = fwd_final - jnp.where(ffound, energy_tol, fk_nostop)
+
+            # --- backward scan from t_mid: slab loop high to low, carried
+            # suffix cummin (next-above position) ---
+            def bcond(state):
+                s0, _, _, t_stop = state
+                return (t_stop < 0) & (s0 >= 0)
+
+            def bbody(state):
+                s0, na_in, c1_in, _ = state
+                s0 = pl.multiple_of(s0, 128)
+                dma_in(slab, remaining, row0, s0, slab_w, 0)
+                col = pick_row(slab[:, :], center)
+                pos_abs = pos_s + s0
+                above = (col >= frame_thresh) | (pos_abs >= t_mid)
+                na_vec = jnp.minimum(
+                    _cummin_rev_lanes(jnp.where(above, pos_abs, INT_MAX)), na_in
+                )
+                consec = na_vec - pos_abs
+                in_range = (consec >= energy_tol) & (pos_abs <= t_mid - 1) & (
+                    pos_abs >= 1
+                )
+                t_stop = jnp.max(jnp.where(in_range, pos_abs, -1))
+                na_out = jnp.min(na_vec)
+                c1 = jnp.sum(jnp.where(pos_abs == 1, consec, 0))
+                c1_out = jnp.where(s0 == 0, c1, c1_in)
+                return s0 - slab_w, na_out, c1_out, t_stop
+
+            _, _, c1_final, bt_stop = jax.lax.while_loop(
+                bcond, bbody, (s0_first, INT_MAX, jnp.int32(0), jnp.int32(-1))
+            )
+            bfound = bt_stop >= 0
+            bk_nostop = jnp.where(t_mid - 1 >= 1, c1_final, 0)
+            bwd_final = jnp.where(bfound, bt_stop - 1, jnp.minimum(t_mid - 1, 0))
+            bwd_start = bwd_final + 1 + jnp.where(bfound, energy_tol, bk_nostop)
+
+            i_start, i_end = bwd_start, fwd_end - 1
+            lo, hi = bwd_final + 1, fwd_final  # zero region; contains t_mid
+
+            # --- zero the claimed region slab by slab, refreshing the block
+            # tables from each post-zero slab while it is still in VMEM ---
+            def zcond(s0):
+                return s0 < hi
+
+            def zbody(s0):
+                s0 = pl.multiple_of(s0, 128)
+                dma_in(slab, remaining, row0, s0, slab_w, 0)
+                pos_abs = pos_s + s0
+                visited = ((pos_abs >= lo) & (pos_abs < t_mid)) | (
+                    (pos_abs >= t_mid + 1) & (pos_abs < hi)
+                )
+                center_mask = visited | (pos_abs == t_mid)
+                # boolean algebra instead of a bool-typed where (Mosaic
+                # rejects i1 selects with mixed broadcast shapes)
+                mask = (is_center_row & center_mask) | (is_neighbor & visited)
+                slab[:, :] = jnp.where(mask, 0.0, slab[:, :])
+                dma_out(slab, remaining, row0, s0, slab_w, 1)
+                update_block_stats(row0, s0 // slab_w)
+                return s0 + slab_w
+
+            z0 = pl.multiple_of(
+                jnp.clip((lo // slab_w) * slab_w, 0, T - slab_w), 128
+            )
+            jax.lax.while_loop(zcond, zbody, z0)
+            refresh_band(row0)
+
+            # --- amplitude over [i_start, i_end) from the ORIGINAL frames ---
             keep = (i_end - i_start) > min_note_len
             span = jnp.maximum(i_end - i_start, 1).astype(jnp.float32)
-            dma_in(row_full, frames_hbm, row0, 0, T, 2)
-            amp_sum = jnp.sum(
-                jnp.where(
-                    (pos_t >= i_start) & (pos_t < i_end),
-                    pick_row(row_full[:, :], center),
-                    0.0,
+
+            def acond(state):
+                s0, _ = state
+                return s0 < i_end
+
+            def abody(state):
+                s0, amp = state
+                s0 = pl.multiple_of(s0, 128)
+                dma_in(fslab, frames_hbm, row0, s0, slab_w, 2)
+                pos_abs = pos_s + s0
+                in_note = (pos_abs >= i_start) & (pos_abs < i_end)
+                amp = amp + jnp.sum(
+                    jnp.where(in_note, pick_row(fslab[:, :], center), 0.0)
                 )
+                return s0 + slab_w, amp
+
+            a0 = pl.multiple_of(
+                jnp.clip((i_start // slab_w) * slab_w, 0, T - slab_w), 128
             )
+            a0 = jnp.where(keep, a0, i_end)  # skip entirely when not kept
+            _, amp_sum = jax.lax.while_loop(acond, abody, (a0, jnp.float32(0.0)))
+
             emit(i_start, i_end, freq, amp_sum / span, keep)
             return it + 1
 
@@ -456,11 +561,16 @@ def pallas_greedy_stages(
     fparams = jnp.asarray([frame_thresh], jnp.float32)
     order8 = jnp.zeros((8, onset_order.shape[0]), jnp.int32).at[0].set(onset_order)
 
+    # block tables: one lane per SLAB-sized block of the timeline (padded to
+    # a 128-lane multiple) — the only state that grows with T is ~500 KB/hour
+    # of VMEM, so the kernel serves arbitrary recording lengths
+    slab_w = min(SLAB, T)
+    nb_pad = -(-(T // slab_w) // 128) * 128
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(1,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # order
+            pl.BlockSpec(memory_space=pltpu.ANY),  # order (HBM, DMA-staged)
             pl.BlockSpec(memory_space=pltpu.ANY),  # frames
         ],
         out_specs=[
@@ -469,12 +579,14 @@ def pallas_greedy_stages(
             pl.BlockSpec(memory_space=pltpu.ANY),  # remaining (mutable state)
         ],
         scratch_shapes=[
-            pltpu.VMEM((16, min(SLAB, T)), jnp.float32),
-            pltpu.VMEM((16, min(SLAB, T)), jnp.float32),
-            pltpu.VMEM((16, T), jnp.float32),
+            pltpu.VMEM((16, slab_w), jnp.float32),
+            pltpu.VMEM((16, slab_w), jnp.float32),
+            pltpu.VMEM((8, 128), jnp.int32),  # staged onset-order block
             pltpu.SemaphoreType.DMA((4,)),
             pltpu.VMEM((8, 128), jnp.float32),
             pltpu.VMEM((8, 128), jnp.int32),
+            pltpu.VMEM((F_PAD, nb_pad), jnp.float32),  # block maxima
+            pltpu.VMEM((F_PAD, nb_pad), jnp.int32),  # block first-occurrence
         ],
     )
 

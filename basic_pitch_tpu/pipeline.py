@@ -51,9 +51,13 @@ WINDOW = constants.AUDIO_N_SAMPLES  # 43844
 TRIM = constants.N_OVERLAPPING_FRAMES // 2  # 15
 FRAMES_PER_WINDOW = constants.N_FRAMES_PER_WINDOW_TRIMMED  # 142
 _DEC_HALO = 128  # left context the 257-tap decimator needs
-# longest fused-decode timeline the Pallas kernel fits in scoped VMEM
-# (empirical on v5e: 54528-frame programs compile, 109056 OOM)
-PALLAS_MAX_FRAMES = 60_000
+# longest fused-decode timeline for the Pallas kernel. Nothing in the kernel
+# scales VMEM with the timeline anymore (slab-carried scans + block-max
+# tables, see decode/pallas_kernel.py) — the remaining growth is the note
+# buffer itself (8 x max_notes x 4 B, and max_notes scales ~T/8 via the
+# capacity formula below) plus ~1 KB of block tables per 32k frames; 2M
+# frames (~6.4 h of audio) keeps that under ~9 MB of scoped VMEM
+PALLAS_MAX_FRAMES = 2_000_000
 
 
 def _unfold_windows(piece: jnp.ndarray, w: int) -> jnp.ndarray:
