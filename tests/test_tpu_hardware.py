@@ -93,6 +93,48 @@ def test_decoder_microbench_artifact(tmp_path, monkeypatch):
     assert len(data["measurements"]) == 3
 
 
+def test_pallas_decoder_constant_vmem_past_old_gate():
+    """The constant-VMEM kernel (slab-carried scans + block-max tables)
+    compiles and matches the XLA decoder at 109,056 frames — the exact
+    scale that blew the 16 MB scoped-VMEM budget under the old
+    timeline-resident design (DESIGN §4d round-3 update). Guards the
+    pipeline's PALLAS_MAX_FRAMES=2M gate."""
+    _require_tpu()
+    import jax
+    import jax.numpy as jnp
+
+    from basic_pitch_tpu.decode import device as device_decode
+    from basic_pitch_tpu.decode import pallas_kernel
+
+    T = 109_056  # 2x the old 54,528-frame compile ceiling
+    rng = np.random.RandomState(1)
+    frames = np.zeros((T, 88), np.float32)
+    onsets = np.zeros((T, 88), np.float32)
+    # sparse synthetic notes spread over the whole timeline so every
+    # block-table band sees both empty and occupied blocks
+    for k in range(400):
+        t0 = int(rng.randint(0, T - 64))
+        row = int(rng.randint(0, 88))
+        frames[t0 : t0 + 24, row] = 0.9
+        onsets[t0, row] = 0.8
+    kwargs = dict(max_notes=2048, melodia_trick=True, max_melodia_iters=8192)
+    ref = jax.jit(
+        lambda f, o: device_decode.decode(f, o, 0.5, 0.3, 5, **kwargs)
+    )(frames, onsets)
+    out = pallas_kernel.decode_pallas(
+        jnp.asarray(frames), jnp.asarray(onsets), 0.5, 0.3, 5, **kwargs
+    )
+    n = int(ref.n_notes)
+    assert n == int(out.n_notes) and n > 200
+    for field in ("starts", "ends", "pitches"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(ref, field)[:n]), np.asarray(getattr(out, field)[:n])
+        )
+    np.testing.assert_allclose(
+        np.asarray(ref.amplitudes[:n]), np.asarray(out.amplitudes[:n]), atol=2e-6
+    )
+
+
 def test_auto_backend_transcribes_on_hardware():
     """decode_backend='auto' resolves to the measured winner and the
     resulting pipeline still produces the golden events."""
