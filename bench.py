@@ -217,14 +217,15 @@ def main() -> None:
             transcriber.transcribe(single_pcm, 22050)
             single_runs.append(single_seconds / (time.time() - t0))
 
-            if round_i % 2 == 0:  # hour-scale: heavier, sample 4 of 7 rounds
-                t0 = time.time()
-                transcriber.transcribe(hour_pcm, 22050)
-                hour_runs.append(hour_seconds / (time.time() - t0))
+            # hour-scale every round: under 2-3x tunnel-weather variance the
+            # recorded best-of-N needs as many samples as the other modes
+            # (warm repeats cost ~3-7 s each since the Pallas decode rewrite)
+            t0 = time.time()
+            transcriber.transcribe(hour_pcm, 22050)
+            hour_runs.append(hour_seconds / (time.time() - t0))
             note(
                 f"round {round_i + 1}/7: batch {batch_runs[-1]:.0f}x, "
-                f"single {single_runs[-1]:.0f}x"
-                + (f", hour {hour_runs[-1]:.0f}x" if round_i % 2 == 0 else "")
+                f"single {single_runs[-1]:.0f}x, hour {hour_runs[-1]:.0f}x"
             )
         except Exception as err:  # noqa: BLE001 — transient PJRT/tunnel errors
             failures += 1
