@@ -225,7 +225,10 @@ def run_sweep(transcriber, corpus) -> list:
                 }
             )
             status = "ok" if ok else f"MISMATCH: {reason}"
-            print(f"  sweep {name:>20s} {cfg['name']:<14s} {len(host_ev):4d} events  {status}")
+            print(
+                f"  sweep [{transcriber.decode_backend:>6s}] {name:>20s} "
+                f"{cfg['name']:<14s} {len(host_ev):4d} events  {status}"
+            )
     return rows
 
 
@@ -273,7 +276,21 @@ def main() -> None:
         print(row)
 
     print("\nDecoder parity sweep (device fused decode vs pinned host decoder):")
-    sweep_rows = run_sweep(transcriber, corpus)
+    # both exact decode backends, each asserted event-identical per config —
+    # on CPU the Pallas kernel only runs interpreted, so hardware-only there
+    import jax
+
+    backends = {"xla": transcriber}
+    if jax.devices()[0].platform != "cpu":
+        backends["pallas"] = pipeline.StreamingTranscriber(
+            windows_per_chunk=192, decode_backend="pallas"
+        )
+    sweep_rows = []
+    for backend_name, tr in backends.items():
+        rows_bk = run_sweep(tr, corpus)
+        for r in rows_bk:
+            r["backend"] = backend_name
+        sweep_rows.extend(rows_bk)
     n_bad = sum(1 for r in sweep_rows if not r["identical"])
 
     out_path = REPO_ROOT / "tools" / "f1_report.json"
