@@ -41,6 +41,7 @@ def main(
     positive_onset_weight: float,
     data_parallel: bool = True,
     trainable_cqt: bool = False,
+    device_targets: bool = True,
 ) -> None:
     """Build datasets, model, and callbacks, then run the fit loop."""
     import jax
@@ -68,6 +69,7 @@ def main(
         validation_steps,
         datasets_to_use,
         dataset_sampling_frequency,
+        device_targets=device_targets,
     )
 
     timestamp = datetime.now(timezone.utc).strftime("%Y%m%d-%H%M")
@@ -166,6 +168,10 @@ def console_entry_point() -> None:
                         help="use a class-balanced loss for onsets")
     parser.add_argument("--positive-onset-weight", type=float, default=0.5,
                         help="positive-class onset weight (with --weighted-onset-loss)")
+    parser.add_argument("--no-device-targets", dest="device_targets", action="store_false",
+                        help="ship dense float32 target tensors instead of the sparse-COO + "
+                             "int16 batches rasterized in-graph (identical training, more "
+                             "host->device bytes)")
     parser.add_argument("--no-data-parallel", dest="data_parallel", action="store_false",
                         help="disable sharding the batch across devices")
     args = parser.parse_args()
@@ -200,6 +206,7 @@ def console_entry_point() -> None:
         args.positive_onset_weight,
         args.data_parallel,
         args.trainable_cqt,
+        args.device_targets,
     )
 
 

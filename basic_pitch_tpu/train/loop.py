@@ -22,12 +22,53 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from basic_pitch_tpu import constants
 from basic_pitch_tpu.models import nmp
 from basic_pitch_tpu.models import params as params_io
 from basic_pitch_tpu.parallel import mesh as mesh_lib
 from basic_pitch_tpu.train import losses
 
 Batch = Dict[str, Any]  # {"audio": (b, n), "targets": {...}, "weights": {...}}
+
+_HEAD_BINS = {
+    "onset": constants.N_FREQ_BINS_NOTES,
+    "note": constants.N_FREQ_BINS_NOTES,
+    "contour": constants.N_FREQ_BINS_CONTOURS,
+}
+
+
+def materialize_batch(batch: Batch) -> Batch:
+    """In-graph materialization of a device-rasterized batch (traced code).
+
+    The loader's `device_targets` mode ships int16 audio plus flat-COO
+    target triples (data/loader.py:_collate_device) because the dense
+    (B, 172, 88/264) float32 targets dominate an upload-bound link. Here,
+    inside the jitted step, int16 dequantizes by the exact /32768 the WAV
+    decoder used, and each head scatters into its dense shape. Window COO
+    coords are unique, so scatter-set with mode="drop" (padding slots carry
+    an out-of-range sentinel) reproduces the host-densified tensors
+    bit-for-bit — pinned by tests/test_train.py.
+    Dense batches pass through untouched.
+    """
+    audio = batch["audio"]
+    if "targets_sparse" not in batch and audio.dtype != jnp.int16:
+        return batch
+    out = {k: v for k, v in batch.items() if k != "targets_sparse"}
+    if audio.dtype == jnp.int16:
+        out["audio"] = audio.astype(jnp.float32) / 32768.0
+    if "targets_sparse" in batch:
+        frames = constants.ANNOT_N_FRAMES
+        dense = {}
+        for head, sp in batch["targets_sparse"].items():
+            bins = _HEAD_BINS[head]
+            b = sp["idx"].shape[0]
+            flat = jnp.zeros((b, frames * bins), sp["val"].dtype)
+            flat = flat.at[jnp.arange(b)[:, None], sp["idx"]].set(
+                sp["val"], mode="drop"
+            )
+            dense[head] = flat.reshape(b, frames, bins)
+        out["targets"] = dense
+    return out
 
 
 @dataclasses.dataclass
@@ -156,8 +197,15 @@ def build_train_step(
     With a mesh, the batch is sharded over its "data" axis and parameters are
     replicated; XLA inserts the gradient all-reduce.
     """
+    # the train-step executable costs ~100 s to build through the tunneled
+    # runtime; persist it like the inference programs do
+    from basic_pitch_tpu.utils import runtime
+
+    runtime.enable_compilation_cache()
 
     def step(params, opt_state, batch):
+        batch = materialize_batch(batch)
+
         def loss_fn(p):
             outputs, batch_stats = nmp.forward(
                 p, batch["audio"], model_config, train=True
@@ -188,14 +236,11 @@ def build_train_step(
 
     batch_sharding = mesh_lib.batch_sharded(mesh)
     rep = mesh_lib.replicated(mesh)
-    batch_shardings = {
-        "audio": batch_sharding,
-        "targets": {k: batch_sharding for k in ("contour", "note", "onset")},
-        "weights": {k: batch_sharding for k in ("contour", "note", "onset")},
-    }
+    # a single sharding as a pytree prefix shards EVERY batch leaf on its
+    # leading (batch) axis — dense targets and sparse COO triples alike
     return jax.jit(
         step,
-        in_shardings=(rep, rep, batch_shardings),
+        in_shardings=(rep, rep, batch_sharding),
         out_shardings=(rep, rep, rep),
         donate_argnums=(0, 1),
     )
@@ -206,7 +251,12 @@ def build_eval_step(
     model_config: nmp.ModelConfig = nmp.DEFAULT_CONFIG,
     mesh: Optional[jax.sharding.Mesh] = None,
 ) -> Callable:
+    from basic_pitch_tpu.utils import runtime
+
+    runtime.enable_compilation_cache()
+
     def step(params, batch):
+        batch = materialize_batch(batch)
         outputs, _ = nmp.forward(params, batch["audio"], model_config, train=False)
         total, per_head = losses.total_loss(
             outputs,
@@ -223,12 +273,7 @@ def build_eval_step(
         return jax.jit(step)
     batch_sharding = mesh_lib.batch_sharded(mesh)
     rep = mesh_lib.replicated(mesh)
-    batch_shardings = {
-        "audio": batch_sharding,
-        "targets": {k: batch_sharding for k in ("contour", "note", "onset")},
-        "weights": {k: batch_sharding for k in ("contour", "note", "onset")},
-    }
-    return jax.jit(step, in_shardings=(rep, batch_shardings), out_shardings=rep)
+    return jax.jit(step, in_shardings=(rep, batch_sharding), out_shardings=rep)
 
 
 def save_train_state(path: pathlib.Path, params, opt_state, extra: Dict) -> None:

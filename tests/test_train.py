@@ -291,3 +291,117 @@ def test_total_loss_no_contours_excludes_head():
     total, per_head = losses.total_loss(outputs, batch["targets"], no_contours=True)
     assert set(per_head) == {"note", "onset"}
     assert np.isfinite(float(total))
+
+
+# ---------------------------------------------------------------------------
+# device-rasterized batches (loader._collate_device + loop.materialize_batch)
+# ---------------------------------------------------------------------------
+
+
+def _annotation_like_windows(rng, n=3, pcm16_audio=True):
+    """Window dicts with realistic sparse targets (a few hundred nonzeros)."""
+
+    def sparse(bins, nnz):
+        m = np.zeros((172, bins), np.float32)
+        t = rng.randint(0, 172, nnz)
+        f = rng.randint(0, bins, nnz)
+        m[t, f] = rng.rand(nnz).astype(np.float32) * 0.9 + 0.1
+        return m
+
+    windows = []
+    for _ in range(n):
+        if pcm16_audio:
+            pcm = rng.randint(-32768, 32768, constants.AUDIO_N_SAMPLES)
+            audio = (pcm.astype(np.float32) / 32768.0).astype(np.float32)
+        else:
+            audio = rng.randn(constants.AUDIO_N_SAMPLES).astype(np.float32)
+        windows.append(
+            {
+                "audio": audio,
+                "targets": {
+                    "onset": sparse(88, rng.randint(1, 40)),
+                    "note": sparse(88, rng.randint(50, 400)),
+                    "contour": sparse(264, rng.randint(100, 900)),
+                },
+                "weights": {k: 1.0 for k in ("onset", "note", "contour")},
+            }
+        )
+    return windows
+
+
+def test_device_collate_materializes_bitexact():
+    """Sparse COO batch -> in-graph rasterization == the dense collate,
+    bit-for-bit, including the exact int16 audio round trip."""
+    from basic_pitch_tpu.data import loader
+
+    rng = np.random.RandomState(3)
+    windows = _annotation_like_windows(rng)
+    dense = loader._collate(windows)
+    device = loader._collate_device(windows)
+    assert device["audio"].dtype == np.int16  # PCM16-exact audio detected
+    mat = jax.jit(train_loop.materialize_batch)(
+        jax.tree_util.tree_map(jnp.asarray, device)
+    )
+    np.testing.assert_array_equal(np.asarray(mat["audio"]), dense["audio"])
+    for head in ("onset", "note", "contour"):
+        np.testing.assert_array_equal(
+            np.asarray(mat["targets"][head]), dense["targets"][head]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(mat["weights"][head]), dense["weights"][head]
+        )
+
+
+def test_device_collate_keeps_f32_audio_when_not_pcm16():
+    from basic_pitch_tpu.data import loader
+
+    rng = np.random.RandomState(4)
+    windows = _annotation_like_windows(rng, pcm16_audio=False)
+    device = loader._collate_device(windows)
+    assert device["audio"].dtype == np.float32
+    dense = loader._collate(windows)
+    np.testing.assert_array_equal(device["audio"], dense["audio"])
+
+
+def test_sparse_cap_buckets_pow2_and_sentinel_drops():
+    from basic_pitch_tpu.data import loader
+
+    m = np.zeros((172, 88), np.float32)
+    m[5, 7] = 0.5
+    sp = loader._sparse_head("onset", [m, np.zeros((172, 88), np.float32)])
+    # caps sit at the per-head floor (stable executable signature) until a
+    # denser batch ratchets them to the next pow2
+    assert sp["idx"].shape == (2, loader._SPARSE_CAP_FLOORS["onset"])
+    assert sp["idx"][0, 0] == 5 * 88 + 7
+    assert (sp["idx"][1] == 172 * 88).all()  # all-sentinel empty window
+
+    dense = np.ones((172, 88), np.float32)  # nnz 15136 > the onset floor
+    sp = loader._sparse_head("onset", [dense])
+    cap = sp["idx"].shape[1]
+    assert cap >= 15136 and (cap & (cap - 1)) == 0  # pow2 ratchet
+
+
+def test_train_step_sparse_equals_dense():
+    """One optimizer step from identical state through both batch formats
+    produces identical metrics and identical updated parameters."""
+    rng = np.random.RandomState(5)
+    windows = _annotation_like_windows(rng, n=2)
+    from basic_pitch_tpu.data import loader
+
+    config = train_loop.TrainConfig(learning_rate=5e-3)
+    optimizer = train_loop.make_optimizer(config)
+    step = train_loop.build_train_step(optimizer, config)
+
+    results = []
+    for batch in (loader._collate(windows), loader._collate_device(windows)):
+        params = nmp.init_params(jax.random.PRNGKey(1))
+        opt_state = optimizer.init(params)
+        new_params, _, metrics = step(params, opt_state, batch)
+        results.append((new_params, float(metrics["loss"])))
+    (p_dense, l_dense), (p_sparse, l_sparse) = results
+    assert l_dense == l_sparse
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        p_dense,
+        p_sparse,
+    )

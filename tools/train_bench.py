@@ -67,7 +67,8 @@ def build_corpus_and_shards(workdir: pathlib.Path, n_tracks: int, seconds: float
 
 
 def timed_training(shards, steps: int, batch_size: int, learning_rate: float,
-                   warmup_steps: int = 10, shuffle: int = 100, sync_every: int = 50):
+                   warmup_steps: int = 10, shuffle: int = 100, sync_every: int = 50,
+                   device_targets: bool = False):
     """Train with the production loader + jitted step; time both sides.
 
     Steps are ENQUEUED asynchronously (dispatch pipelining — the production
@@ -84,7 +85,8 @@ def timed_training(shards, steps: int, batch_size: int, learning_rate: float,
     from basic_pitch_tpu.train import loop as train_loop
 
     train_iter, _ = loader.prepare_datasets(
-        str(shards), shuffle, batch_size, 2, ["guitarset"], [1.0], seed=0
+        str(shards), shuffle, batch_size, 2, ["guitarset"], [1.0], seed=0,
+        device_targets=device_targets,
     )
     config = train_loop.TrainConfig(learning_rate=learning_rate)
     optimizer = train_loop.make_optimizer(config)
@@ -200,8 +202,26 @@ def main(argv=None) -> dict:
     corpus, shards, etl_stats = build_corpus_and_shards(workdir, args.tracks, args.seconds)
     print(f"corpus+ETL: {etl_stats}")
 
-    params, train_stats = timed_training(shards, args.steps, args.batch_size, args.lr)
-    print(f"training: {train_stats}")
+    # headline: the device-rasterized batch path (sparse targets + int16
+    # audio, materialized in-graph) — the TPU-first transport; the dense-batch
+    # path runs shorter as the recorded baseline it improves on
+    params, train_stats = timed_training(
+        shards, args.steps, args.batch_size, args.lr, device_targets=True
+    )
+    print(f"training (device-rasterized batches): {train_stats}")
+    _, dense_stats = timed_training(
+        shards, max(args.steps // 4, 50), args.batch_size, args.lr
+    )
+    print(f"training (dense batches): {dense_stats}")
+    train_stats["dense_baseline"] = {
+        k: dense_stats[k]
+        for k in (
+            "steps",
+            "step_time_ms_amortized",
+            "windows_per_s",
+            "loader_feed_margin",
+        )
+    }
 
     f1_stats = heldout_f1(corpus, shards, params)
     print(f"held-out: {f1_stats}")
