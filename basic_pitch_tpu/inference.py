@@ -510,7 +510,12 @@ def predict_and_save_streaming(
         else Model(model_or_model_path)
     )
     transcriber = pipeline.StreamingTranscriber(
-        model.params, config=model.config, windows_per_chunk=windows_per_chunk
+        model.params,
+        config=model.config,
+        windows_per_chunk=windows_per_chunk,
+        # measured per process: the codec wins on slow links, raw device_put
+        # on fast ones (ops/transport.py) — either way events are identical
+        pcm_transport="auto",
     )
 
     min_note_len = int(

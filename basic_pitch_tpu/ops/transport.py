@@ -1,0 +1,153 @@
+"""PCM upload-transport selection: residual codec vs raw int16, measured.
+
+Two exact ways exist to get PCM16 samples into HBM:
+
+- **codec** (`ops/pcmcodec.py`): pack to ~1.4-1.9x fewer bytes on host
+  worker threads, ship the packed words, reconstruct on device. Wins when
+  the host->device link is the bottleneck (this repo's tunneled runtime
+  measures ~35 MB/s on a typical day — DESIGN.md SS2), because packing
+  overlaps uploads and the wire carries fewer bytes.
+- **raw**: one `device_put` of the int16 samples. Wins when the link is
+  fast relative to the packer (~410 MB/s/thread measured, 2 worker
+  threads) and to the codec's per-piece unpack-program dispatches (3-17
+  small device programs, each a round trip on a remote runtime).
+
+Like the decode backend (decode/select.py), the winner is a property of
+the RUNTIME — link speed, RPC latency, host CPU — not of the code, and on
+a shared tunnel it changes hour to hour (measured 35 MB/s to ~1 GB/s on
+the same machine). So the choice is measured: `probe()` times both
+transports end-to-end on a canned buffer and picks the faster; with
+`StreamingTranscriber(pcm_transport="auto")` the probe re-runs after a
+TTL so a long-lived server tracks the weather, with hysteresis so the
+transport doesn't flap on noise.
+
+The reference has no analogue (its inference is in-process CPU/GPU); this
+subsystem exists because a TPU serving deployment separates the audio
+frontend from the accelerator by a real link.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional
+
+import numpy as np
+
+# module-level cache: {"ts": monotonic seconds, "result": probe dict}
+_PROBE_CACHE: Optional[Dict] = None
+
+# a new winner must beat the incumbent by this factor to flip the cached
+# decision — tunnel throughput is noisy minute-to-minute, and flapping
+# between transports churns executable caches for no gain
+HYSTERESIS = 1.15
+
+PROBE_MIB = 2  # per-transport probe traffic; ~100 ms at 35 MB/s
+
+
+def _canned_pcm(n_bytes: int, seed: int = 0) -> np.ndarray:
+    """A random-walk PCM16 buffer compressing at ~1.4x — the ratio the
+    codec achieves on real music (tools/f1_report corpus median 1.41x)."""
+    rng = np.random.RandomState(seed)
+    steps = rng.randint(-300, 300, n_bytes // 2)
+    return np.cumsum(steps).astype(np.int16)
+
+
+def _measure(device=None, size_mib: int = PROBE_MIB) -> Dict:
+    """Time raw device_put vs pack+decode_to_device on one canned buffer."""
+    import jax
+
+    from basic_pitch_tpu.ops import pcmcodec
+
+    pcm = _canned_pcm(size_mib << 20)
+    put = jax.device_put if device is None else (lambda x: jax.device_put(x, device))
+
+    # warm both paths once (compiles the unpack programs at this shape; the
+    # persistent compilation cache makes that a per-machine cost)
+    jax.block_until_ready(put(pcm))
+    packed = pcmcodec.pack(pcm)
+    jax.block_until_ready(pcmcodec.decode_to_device(packed, len(pcm), device=device))
+
+    raw_s = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        jax.block_until_ready(put(pcm))
+        raw_s = min(raw_s, time.perf_counter() - t0)
+
+    pack_s = float("inf")
+    codec_dev_s = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        packed = pcmcodec.pack(pcm)
+        pack_s = min(pack_s, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        jax.block_until_ready(pcmcodec.decode_to_device(packed, len(pcm), device=device))
+        codec_dev_s = min(codec_dev_s, time.perf_counter() - t0)
+
+    # steady state the dispatch loop overlaps packing (2 worker threads)
+    # with uploads, so the codec's per-byte cost is whichever of the two
+    # stages is the wall, not their sum
+    codec_s = max(pack_s / 2.0, codec_dev_s)
+    mib = float(size_mib)
+    return {
+        "platform": jax.devices()[0].platform,
+        "probe_mib": size_mib,
+        "raw_mib_s": round(mib / raw_s, 1),
+        "codec_mib_s": round(mib / codec_s, 1),
+        "pack_mib_s": round(mib / pack_s, 1),
+        "codec_device_mib_s": round(mib / codec_dev_s, 1),
+        "packed_ratio": round(pcm.nbytes / packed.packed_bytes, 2),
+        "transport": "codec" if codec_s < raw_s else "raw",
+        "note": (
+            "measured end-to-end on this runtime; link speed and RPC "
+            "latency differ between tunneled dev runtimes and local-PCIe "
+            "production parts"
+        ),
+    }
+
+
+def probe(device=None, ttl_s: Optional[float] = None, force: bool = False) -> Dict:
+    """Measured transport decision, cached per process.
+
+    ``ttl_s`` re-measures when the cached probe is older than that many
+    seconds (shared-tunnel throughput varies 2-3x minute-to-minute); the
+    cached winner is kept unless the challenger beats it by >HYSTERESIS.
+    ``force`` always re-measures and takes the new winner outright.
+    """
+    global _PROBE_CACHE
+    now = time.monotonic()
+    if _PROBE_CACHE is not None and not force:
+        fresh = ttl_s is None or (now - _PROBE_CACHE["ts"]) < ttl_s
+        if fresh:
+            return _PROBE_CACHE["result"]
+        old = _PROBE_CACHE["result"]
+        new = _measure(device)
+        if new["transport"] != old["transport"]:
+            speeds = {k: new[f"{k}_mib_s"] for k in ("raw", "codec")}
+            incumbent, challenger = old["transport"], new["transport"]
+            if speeds[challenger] < HYSTERESIS * speeds[incumbent]:
+                new["transport"] = incumbent  # not decisively better: hold
+        _PROBE_CACHE = {"ts": now, "result": new}
+        return new
+    result = _measure(device)
+    _PROBE_CACHE = {"ts": now, "result": result}
+    return result
+
+
+def resolve(pcm_transport: str, device=None, ttl_s: Optional[float] = None) -> str:
+    """Map a requested transport ("codec" | "raw" | "auto") to a concrete one.
+
+    "auto" measures (see probe); it resolves to "raw" outright when the
+    native packer is absent, since the numpy packer is too slow for the
+    throughput path (pcmcodec.available).
+    """
+    if pcm_transport in ("codec", "raw"):
+        return pcm_transport
+    if pcm_transport != "auto":
+        raise ValueError(
+            f"pcm_transport must be codec|raw|auto, got {pcm_transport!r}"
+        )
+    from basic_pitch_tpu.ops import pcmcodec
+
+    if not pcmcodec.available():
+        return "raw"
+    return probe(device=device, ttl_s=ttl_s)["transport"]

@@ -88,6 +88,15 @@ class StreamingTranscriber:
             this runtime), "pallas" (the VMEM-slab kernel — projected faster
             on local-PCIe production parts), or "auto" (probe both once per
             process at init and pick the measured winner; see decode/select.py).
+        pcm_transport: how int16 recordings cross the host->device link —
+            "codec" (default: the lossless residual codec, fewer wire bytes;
+            wins on slow links), "raw" (one device_put; wins on fast links
+            where the codec's unpack-program dispatches dominate), or "auto"
+            (measure both at first dispatch and re-measure after
+            ``transport_ttl_s``; see ops/transport.py).
+        transport_ttl_s: with pcm_transport="auto", re-probe the link when
+            the cached measurement is older than this (shared-tunnel
+            throughput varies 2-3x minute-to-minute).
     """
 
     def __init__(
@@ -98,6 +107,8 @@ class StreamingTranscriber:
         precision=jax.lax.Precision.HIGHEST,
         mesh: Optional[jax.sharding.Mesh] = None,
         decode_backend: str = "xla",
+        pcm_transport: str = "codec",
+        transport_ttl_s: float = 120.0,
     ):
         from basic_pitch_tpu.utils import runtime
 
@@ -140,6 +151,12 @@ class StreamingTranscriber:
         from basic_pitch_tpu.decode import select as decode_select
 
         self.decode_backend = decode_select.resolve(decode_backend)
+        if pcm_transport not in ("codec", "raw", "auto"):
+            raise ValueError(
+                f"pcm_transport must be codec|raw|auto, got {pcm_transport!r}"
+            )
+        self.pcm_transport = pcm_transport
+        self.transport_ttl_s = transport_ttl_s
 
         self._chunk_fn_22k = self._build(chunk_is_44k=False)
         self._chunk_fn_44k = self._build(chunk_is_44k=True)
@@ -367,6 +384,24 @@ class StreamingTranscriber:
                 "bends": jnp.zeros((frames, constants.N_FREQ_BINS_NOTES), jnp.int8),
             }
         return self._zero_chunk_cache
+
+    def _codec_enabled(self, dtype) -> bool:
+        """Should int16 pieces ride the residual codec on this dispatch?
+
+        "codec"/"raw" are unconditional (codec still requires the native
+        packer); "auto" consults the measured transport probe, re-measuring
+        after ``transport_ttl_s`` (ops/transport.py) — so a long-lived
+        server tracks link weather without flapping on noise.
+        """
+        if dtype != np.int16 or not pcmcodec.available():
+            return False
+        if self.pcm_transport == "auto":
+            from basic_pitch_tpu.ops import transport
+
+            return (
+                transport.resolve("auto", ttl_s=self.transport_ttl_s) == "codec"
+            )
+        return self.pcm_transport == "codec"
 
     def _count_upload(self, device, nbytes: int) -> None:
         self.piece_upload_bytes[device] = self.piece_upload_bytes.get(device, 0) + nbytes
@@ -632,13 +667,13 @@ class StreamingTranscriber:
 
         # chunk pieces: upload c+1 while c computes (all dispatches async).
         # int16 pieces ship through the lossless residual codec when the
-        # native packer is present — ~1.4-1.9x fewer bytes over the
-        # link-bound tunnel, decoded to the exact samples in HBM
-        # (ops/pcmcodec.py). On a mesh, each shard row packs and decodes
-        # independently on its own device, so the codec savings apply to the
-        # per-chip uploads too.
+        # native packer is present and the transport policy picks it —
+        # ~1.4-1.9x fewer bytes when the link is the wall, raw device_put
+        # when it isn't (ops/pcmcodec.py, ops/transport.py). On a mesh, each
+        # shard row packs and decodes independently on its own device, so
+        # the codec savings apply to the per-chip uploads too.
         piece_fn = self._piece_fn(is_44k, keep_contour=keep_outputs)
-        use_codec = audio.dtype == np.int16 and pcmcodec.available()
+        use_codec = self._codec_enabled(audio.dtype)
         pieces = list(self._pieces(audio, is_44k, n_chunks))
         if use_codec:
             # pack on worker threads (the C++ packer releases the GIL): piece

@@ -91,7 +91,7 @@ def measure_stages(transcriber, pcm: np.ndarray) -> dict:
 
     pieces = list(tr._pieces(pcm, False, n_chunks))
     piece_fn = tr._piece_fn(False)
-    use_codec = pcm.dtype == np.int16 and pcmcodec.available()
+    use_codec = tr._codec_enabled(pcm.dtype)
 
     t0 = time.time()
     dev_pieces = []
@@ -176,9 +176,12 @@ def main() -> None:
 
     # auto backend: probe XLA-loop vs Pallas decode once and use the measured
     # winner (pallas on this runtime, ~2x per-note; recordings past the
-    # VMEM frame gate fall back to the XLA decoder automatically)
+    # VMEM frame gate fall back to the XLA decoder automatically). The PCM
+    # transport (residual codec vs raw int16) is likewise measured per
+    # process and re-measured across the run (ops/transport.py) — the link
+    # this rides varies 35 MB/s..~1 GB/s between sessions.
     transcriber = pipeline.StreamingTranscriber(
-        windows_per_chunk=192, decode_backend="auto"
+        windows_per_chunk=192, decode_backend="auto", pcm_transport="auto"
     )
 
     import sys
@@ -187,6 +190,14 @@ def main() -> None:
         print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
 
     note(f"decode backend: {transcriber.decode_backend}")
+    from basic_pitch_tpu.ops import transport as transport_mod
+
+    transport_probe = transport_mod.probe()
+    note(
+        f"pcm transport: {transport_probe['transport']} "
+        f"(raw {transport_probe['raw_mib_s']} MiB/s vs codec "
+        f"{transport_probe['codec_mib_s']} MiB/s effective)"
+    )
     # warmup: compile chunk + decode executables at ALL bench shapes
     # (retry once — a transient tunnel error here must not kill the bench)
     try:
@@ -283,6 +294,9 @@ def main() -> None:
                         ),
                     },
                     "decode_backend": transcriber.decode_backend,
+                    # re-fetch: auto mode re-probes on a TTL during the run,
+                    # so the cache holds the latest measurement
+                    "pcm_transport": transport_mod.probe(),
                     "pipeline": "22.05kHz PCM16 -> device window+CQT+model+decode -> events",
                 },
             }
