@@ -182,6 +182,14 @@ def heldout_f1(corpus, shards, params):
     }
 
 
+def _link_probe() -> dict:
+    """Raw host->device MiB/s at measurement time (ops/transport.py probe)."""
+    from basic_pitch_tpu.ops import transport
+
+    r = transport.probe()
+    return {k: r[k] for k in ("raw_mib_s", "codec_mib_s", "transport")}
+
+
 def main(argv=None) -> dict:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--tracks", type=int, default=40)
@@ -232,6 +240,10 @@ def main(argv=None) -> dict:
         "unit": "windows_per_s",
         "detail": {
             "device": str(jax.devices()[0]),
+            # link weather at measurement time: the training step is
+            # batch-upload bound through a slow tunnel, so the recorded
+            # throughput is only interpretable next to the link speed
+            "link_probe": _link_probe(),
             "corpus": {
                 "n_tracks": args.tracks,
                 "track_seconds": args.seconds,
