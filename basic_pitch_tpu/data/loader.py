@@ -277,6 +277,9 @@ def _sparse_head(head: str, mats: List[np.ndarray]) -> Dict[str, np.ndarray]:
     return {"idx": idx, "val": val}
 
 
+_audio_transport_warned = False
+
+
 def _audio_transport(stack: np.ndarray) -> np.ndarray:
     """Ship audio as int16 when x == round(x*32768)/32768 holds bit-exactly
     for the whole batch (true whenever the source was 22.05 kHz mono PCM16,
@@ -285,6 +288,12 @@ def _audio_transport(stack: np.ndarray) -> np.ndarray:
 
     All-f32 arithmetic: PCM16-derived samples are exactly k/32768, so
     k = x * 32768 is exact in f32 and rint introduces no rounding ambiguity.
+
+    The check is all-or-nothing per batch (a batch has one audio dtype):
+    any non-PCM16 window — notably EVERY pairs-mixed window, since the mean
+    of two int16 samples is a k/65536 that is usually not a k/32768 —
+    downgrades the whole batch to float32. Exactness always wins over the
+    2x byte saving; the first downgrade logs so the loss is visible.
     """
     pcm = np.rint(stack * np.float32(32768.0))
     if (
@@ -293,6 +302,16 @@ def _audio_transport(stack: np.ndarray) -> np.ndarray:
         and np.array_equal(pcm * np.float32(1.0 / 32768.0), stack)
     ):
         return pcm.astype(np.int16)
+    global _audio_transport_warned
+    if not _audio_transport_warned:
+        _audio_transport_warned = True
+        import logging
+
+        logging.getLogger(__name__).info(
+            "device_targets: batch audio is not bit-exactly PCM16 "
+            "(pairs mixing or non-PCM sources); shipping float32 audio "
+            "(targets still ride the sparse transport)"
+        )
     return stack
 
 

@@ -28,6 +28,7 @@ frontend from the accelerator by a real link.
 
 from __future__ import annotations
 
+import threading
 import time
 from typing import Dict, Optional
 
@@ -35,6 +36,10 @@ import numpy as np
 
 # module-level cache: {"ts": monotonic seconds, "result": probe dict}
 _PROBE_CACHE: Optional[Dict] = None
+# serializes measurement starts: two threads re-probing concurrently would
+# contend on the same link and both measure garbage
+_PROBE_LOCK = threading.Lock()
+_REPROBE_THREAD: Optional[threading.Thread] = None
 
 # a new winner must beat the incumbent by this factor to flip the cached
 # decision — tunnel throughput is noisy minute-to-minute, and flapping
@@ -42,6 +47,11 @@ _PROBE_CACHE: Optional[Dict] = None
 HYSTERESIS = 1.15
 
 PROBE_MIB = 2  # per-transport probe traffic; ~100 ms at 35 MB/s
+
+# worker threads the dispatch loop packs on (pipeline.StreamingTranscriber's
+# pool size imports THIS constant): the probe models codec throughput as
+# max(pack/PACK_WORKERS, device unpack), so the two must agree
+PACK_WORKERS = 2
 
 
 def _canned_pcm(n_bytes: int, seed: int = 0) -> np.ndarray:
@@ -83,10 +93,10 @@ def _measure(device=None, size_mib: int = PROBE_MIB) -> Dict:
         jax.block_until_ready(pcmcodec.decode_to_device(packed, len(pcm), device=device))
         codec_dev_s = min(codec_dev_s, time.perf_counter() - t0)
 
-    # steady state the dispatch loop overlaps packing (2 worker threads)
+    # steady state the dispatch loop overlaps packing (PACK_WORKERS threads)
     # with uploads, so the codec's per-byte cost is whichever of the two
     # stages is the wall, not their sum
-    codec_s = max(pack_s / 2.0, codec_dev_s)
+    codec_s = max(pack_s / PACK_WORKERS, codec_dev_s)
     mib = float(size_mib)
     return {
         "platform": jax.devices()[0].platform,
@@ -105,32 +115,84 @@ def _measure(device=None, size_mib: int = PROBE_MIB) -> Dict:
     }
 
 
+def _reprobe(old: Dict, device=None) -> Dict:
+    """Re-measure and apply hysteresis against the incumbent decision.
+
+    When the challenger is not decisively better (HYSTERESIS), the record
+    keeps the incumbent transport and says so (``held_by_hysteresis``) —
+    the measurements stay the NEW ones, so the stored speeds and the
+    stored decision are individually honest even when they disagree.
+    """
+    new = _measure(device)
+    if new["transport"] != old["transport"]:
+        speeds = {k: new[f"{k}_mib_s"] for k in ("raw", "codec")}
+        incumbent, challenger = old["transport"], new["transport"]
+        if speeds[challenger] < HYSTERESIS * speeds[incumbent]:
+            new["transport"] = incumbent  # not decisively better: hold
+            new["held_by_hysteresis"] = True
+    return new
+
+
 def probe(device=None, ttl_s: Optional[float] = None, force: bool = False) -> Dict:
     """Measured transport decision, cached per process.
 
     ``ttl_s`` re-measures when the cached probe is older than that many
-    seconds (shared-tunnel throughput varies 2-3x minute-to-minute); the
-    cached winner is kept unless the challenger beats it by >HYSTERESIS.
-    ``force`` always re-measures and takes the new winner outright.
+    seconds (shared-tunnel throughput varies 2-3x minute-to-minute). The
+    re-measure runs on a BACKGROUND thread — callers keep getting the
+    cached decision until the new one lands, so a live request never
+    absorbs the probe's transfers as latency (only the very first probe,
+    which has nothing to fall back on, is synchronous). The cached winner
+    is kept unless the challenger beats it by >HYSTERESIS. ``force``
+    re-measures synchronously and takes the new winner outright.
     """
-    global _PROBE_CACHE
+    global _PROBE_CACHE, _REPROBE_THREAD
     now = time.monotonic()
     if _PROBE_CACHE is not None and not force:
-        fresh = ttl_s is None or (now - _PROBE_CACHE["ts"]) < ttl_s
-        if fresh:
+        stale = ttl_s is not None and (now - _PROBE_CACHE["ts"]) >= ttl_s
+        if stale:
+            with _PROBE_LOCK:
+                # re-check under the lock: another thread may have kicked
+                # (or finished) the re-probe while we waited
+                cache = _PROBE_CACHE
+                still_stale = (time.monotonic() - cache["ts"]) >= ttl_s
+                if still_stale and (
+                    _REPROBE_THREAD is None or not _REPROBE_THREAD.is_alive()
+                ):
+
+                    def run(old=cache["result"]):
+                        global _PROBE_CACHE
+                        # lock so a concurrent force-probe never measures
+                        # the link at the same time as this thread
+                        with _PROBE_LOCK:
+                            result = _reprobe(old, device)
+                            _PROBE_CACHE = {
+                                "ts": time.monotonic(),
+                                "result": result,
+                            }
+
+                    _REPROBE_THREAD = threading.Thread(
+                        target=run, name="bp-transport-reprobe", daemon=True
+                    )
+                    _REPROBE_THREAD.start()
+        return _PROBE_CACHE["result"]
+    with _PROBE_LOCK:
+        if _PROBE_CACHE is not None and not force:
             return _PROBE_CACHE["result"]
-        old = _PROBE_CACHE["result"]
-        new = _measure(device)
-        if new["transport"] != old["transport"]:
-            speeds = {k: new[f"{k}_mib_s"] for k in ("raw", "codec")}
-            incumbent, challenger = old["transport"], new["transport"]
-            if speeds[challenger] < HYSTERESIS * speeds[incumbent]:
-                new["transport"] = incumbent  # not decisively better: hold
-        _PROBE_CACHE = {"ts": now, "result": new}
-        return new
-    result = _measure(device)
-    _PROBE_CACHE = {"ts": now, "result": result}
+        result = _measure(device)
+        _PROBE_CACHE = {"ts": time.monotonic(), "result": result}
     return result
+
+
+MODES = ("codec", "raw", "auto")
+
+
+def check_mode(pcm_transport: str) -> str:
+    """Validate a requested transport mode (single source of the contract)."""
+    if pcm_transport not in MODES:
+        raise ValueError(
+            f"pcm_transport must be {'|'.join(MODES)}, got {pcm_transport!r}"
+        )
+    return pcm_transport
 
 
 def resolve(pcm_transport: str, device=None, ttl_s: Optional[float] = None) -> str:
@@ -140,14 +202,27 @@ def resolve(pcm_transport: str, device=None, ttl_s: Optional[float] = None) -> s
     native packer is absent, since the numpy packer is too slow for the
     throughput path (pcmcodec.available).
     """
-    if pcm_transport in ("codec", "raw"):
+    if check_mode(pcm_transport) in ("codec", "raw"):
         return pcm_transport
-    if pcm_transport != "auto":
-        raise ValueError(
-            f"pcm_transport must be codec|raw|auto, got {pcm_transport!r}"
-        )
     from basic_pitch_tpu.ops import pcmcodec
 
     if not pcmcodec.available():
         return "raw"
     return probe(device=device, ttl_s=ttl_s)["transport"]
+
+
+def report(device=None) -> Dict:
+    """Probe record for benchmark artifacts.
+
+    Honest when the native packer is missing: the production path resolves
+    "auto" -> "raw" there, so no numpy-fallback pack timings are recorded
+    as if they were the codec the run used.
+    """
+    from basic_pitch_tpu.ops import pcmcodec
+
+    if not pcmcodec.available():
+        return {
+            "transport": "raw",
+            "note": "native packer unavailable; codec not measured",
+        }
+    return probe(device=device)

@@ -151,18 +151,20 @@ class StreamingTranscriber:
         from basic_pitch_tpu.decode import select as decode_select
 
         self.decode_backend = decode_select.resolve(decode_backend)
-        if pcm_transport not in ("codec", "raw", "auto"):
-            raise ValueError(
-                f"pcm_transport must be codec|raw|auto, got {pcm_transport!r}"
-            )
-        self.pcm_transport = pcm_transport
+        from basic_pitch_tpu.ops import transport
+
+        self.pcm_transport = transport.check_mode(pcm_transport)
         self.transport_ttl_s = transport_ttl_s
 
         self._chunk_fn_22k = self._build(chunk_is_44k=False)
         self._chunk_fn_44k = self._build(chunk_is_44k=True)
         self._piece_cache = {}
-        # worker threads for the GIL-releasing C++ packer (see _dispatch)
-        self._pack_pool = concurrent.futures.ThreadPoolExecutor(max_workers=2)
+        # worker threads for the GIL-releasing C++ packer (see _dispatch);
+        # the transport probe models codec throughput with this same
+        # parallelism, so the count lives in ops/transport.PACK_WORKERS
+        self._pack_pool = concurrent.futures.ThreadPoolExecutor(
+            max_workers=transport.PACK_WORKERS
+        )
         self._decode_cache = {}
         self._shrink_cache = {}
 

@@ -192,11 +192,11 @@ def main() -> None:
     note(f"decode backend: {transcriber.decode_backend}")
     from basic_pitch_tpu.ops import transport as transport_mod
 
-    transport_probe = transport_mod.probe()
+    transport_probe = transport_mod.report()
     note(
         f"pcm transport: {transport_probe['transport']} "
-        f"(raw {transport_probe['raw_mib_s']} MiB/s vs codec "
-        f"{transport_probe['codec_mib_s']} MiB/s effective)"
+        f"(raw {transport_probe.get('raw_mib_s', '?')} MiB/s vs codec "
+        f"{transport_probe.get('codec_mib_s', '?')} MiB/s effective)"
     )
     # warmup: compile chunk + decode executables at ALL bench shapes
     # (retry once — a transient tunnel error here must not kill the bench)
@@ -296,7 +296,7 @@ def main() -> None:
                     "decode_backend": transcriber.decode_backend,
                     # re-fetch: auto mode re-probes on a TTL during the run,
                     # so the cache holds the latest measurement
-                    "pcm_transport": transport_mod.probe(),
+                    "pcm_transport": transport_mod.report(),
                     "pipeline": "22.05kHz PCM16 -> device window+CQT+model+decode -> events",
                 },
             }

@@ -17,6 +17,7 @@ from basic_pitch_tpu.ops import pcmcodec, transport
 @pytest.fixture(autouse=True)
 def _fresh_probe_cache(monkeypatch):
     monkeypatch.setattr(transport, "_PROBE_CACHE", None)
+    monkeypatch.setattr(transport, "_REPROBE_THREAD", None)
 
 
 def test_probe_measures_both_transports():
@@ -41,6 +42,13 @@ def test_probe_cached_per_process(monkeypatch):
     assert not calls
 
 
+def _settle():
+    """Join the background re-probe thread, if one was kicked."""
+    th = transport._REPROBE_THREAD
+    if th is not None:
+        th.join(timeout=10)
+
+
 def test_ttl_reprobe_with_hysteresis(monkeypatch):
     base = {
         "raw_mib_s": 100.0,
@@ -49,25 +57,52 @@ def test_ttl_reprobe_with_hysteresis(monkeypatch):
         "platform": "cpu",
     }
     monkeypatch.setattr(transport, "_measure", lambda *a, **k: dict(base))
-    t = [1000.0]
-    monkeypatch.setattr(transport.time, "monotonic", lambda: t[0])
     assert transport.probe(ttl_s=60)["transport"] == "codec"
 
-    # stale + challenger NOT decisively better (within HYSTERESIS): hold
-    t[0] += 61
+    # stale: the CALLER still gets the cached decision (re-probe happens on
+    # a background thread so requests never absorb the probe's transfers)
+    monkeypatch.setattr(
+        transport.time, "monotonic", lambda: transport._PROBE_CACHE["ts"] + 61
+    )
+    # challenger NOT decisively better (within HYSTERESIS): hold, flagged
     wobble = dict(base, raw_mib_s=205.0, codec_mib_s=200.0, transport="raw")
     monkeypatch.setattr(transport, "_measure", lambda *a, **k: dict(wobble))
     assert transport.probe(ttl_s=60)["transport"] == "codec"
+    _settle()
+    held = transport.probe(ttl_s=1e9)
+    assert held["transport"] == "codec"  # incumbent kept...
+    assert held["held_by_hysteresis"] is True  # ...and the record says so
+    assert held["raw_mib_s"] == 205.0  # with the NEW measurements
 
-    # stale + challenger decisively better: flip
-    t[0] += 61
+    # challenger decisively better: flip
+    monkeypatch.setattr(
+        transport.time, "monotonic", lambda: transport._PROBE_CACHE["ts"] + 61
+    )
     decisive = dict(base, raw_mib_s=500.0, codec_mib_s=200.0, transport="raw")
     monkeypatch.setattr(transport, "_measure", lambda *a, **k: dict(decisive))
-    assert transport.probe(ttl_s=60)["transport"] == "raw"
+    transport.probe(ttl_s=60)
+    _settle()
+    flipped = transport.probe(ttl_s=1e9)
+    assert flipped["transport"] == "raw"
+    assert "held_by_hysteresis" not in flipped
 
-    # force re-measures and takes the winner outright, ignoring hysteresis
-    monkeypatch.setattr(transport, "_measure", lambda *a, **k: dict(wobble))
+    # force re-measures synchronously, takes the winner, ignores hysteresis
+    back = dict(base, raw_mib_s=205.0, codec_mib_s=200.0, transport="raw")
+    monkeypatch.setattr(transport, "_measure", lambda *a, **k: dict(back))
     assert transport.probe(force=True)["transport"] == "raw"
+
+
+def test_report_without_packer(monkeypatch):
+    monkeypatch.setattr(pcmcodec, "available", lambda: False)
+    r = transport.report()
+    assert r["transport"] == "raw"
+    assert "raw_mib_s" not in r  # nothing measured, nothing recorded
+
+
+def test_check_mode():
+    assert transport.check_mode("auto") == "auto"
+    with pytest.raises(ValueError, match="pcm_transport"):
+        transport.check_mode("zip")
 
 
 def test_resolve_forced_and_invalid():

@@ -183,11 +183,12 @@ def heldout_f1(corpus, shards, params):
 
 
 def _link_probe() -> dict:
-    """Raw host->device MiB/s at measurement time (ops/transport.py probe)."""
+    """Host->device MiB/s at measurement time (ops/transport.py probe)."""
     from basic_pitch_tpu.ops import transport
 
-    r = transport.probe()
-    return {k: r[k] for k in ("raw_mib_s", "codec_mib_s", "transport")}
+    r = transport.report()
+    keep = ("raw_mib_s", "codec_mib_s", "transport", "note")
+    return {k: r[k] for k in keep if k in r}
 
 
 def main(argv=None) -> dict:
