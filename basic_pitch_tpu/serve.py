@@ -1,0 +1,386 @@
+"""HTTP serving frontend: cross-request micro-batching over the pipeline.
+
+The reference is a batch CLI/library only — it has no serving story
+(SURVEY §5: no server, no metrics). A TPU deployment is different: one
+chip transcribes ~1000x realtime, so a single accelerator serves many
+concurrent callers, and throughput comes from BATCHING their requests
+into one device dispatch (`StreamingTranscriber.transcribe_batch`
+pipelines uploads/compute/downloads across recordings — BASELINE
+config 2). This module is that frontend:
+
+- `TranscriptionService` — a micro-batcher: requests queue up, a single
+  dispatch thread drains them in groups (bounded by ``max_batch`` and
+  ``max_wait_ms``), groups share one `transcribe_batch` call per distinct
+  decode-parameter set, and each caller blocks only on its own result.
+  One service owns the transcriber; HTTP threads never touch jax.
+- `TranscriptionHandler` / `make_server` — a stdlib ThreadingHTTPServer
+  speaking a small JSON/MIDI API:
+
+    GET  /healthz          -> {"status": "ok", backend/transport info}
+    GET  /metrics          -> request/audio-second/latency counters
+    POST /v1/transcribe    -> WAV body; query params mirror the CLI flags
+         (onset_threshold, frame_threshold, minimum_note_length,
+         minimum_frequency, maximum_frequency, melodia, infer_onsets,
+         midi_tempo); ``format=json|midi|csv`` selects the response body.
+
+- `basic-pitch-serve` console script (`cli/serve.py`) starts it.
+
+WAV decoding reuses `utils/audio` (PCM16 mono at the model rates ships
+as int16 so the transport codec applies end-to-end); note events are the
+same tuples `inference.predict` returns, serialized with the CSV field
+names the reference writes (`start_time_s,end_time_s,pitch_midi,...`).
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, List, Optional, Tuple
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+from basic_pitch_tpu import constants
+from basic_pitch_tpu.utils import audio as audio_io
+
+MAX_BODY_BYTES = 256 << 20  # one hour of 44.1 kHz stereo PCM16 is ~600 MB/2ch
+
+
+class RequestError(ValueError):
+    """Client error (HTTP 400): bad body, bad params, undecodable audio."""
+
+
+def decode_wav_request(raw: bytes) -> Tuple[np.ndarray, int]:
+    """WAV bytes -> (mono samples, model-compatible sample rate).
+
+    PCM16 mono at 22.05/44.1 kHz passes through as int16 (the transport
+    codec's exact input); everything else decodes to float32, mixes down,
+    and resamples to the model rate.
+    """
+    if not raw:
+        raise RequestError("empty request body; POST a WAV file")
+    header = audio_io._parse_wav_header(raw)
+    if header is not None:
+        audio_format, n_channels, sample_rate, bits, data = header
+        if (
+            audio_format == audio_io.WAVE_FORMAT_PCM
+            and bits == 16
+            and n_channels == 1
+            and sample_rate
+            in (constants.AUDIO_SAMPLE_RATE, 2 * constants.AUDIO_SAMPLE_RATE)
+        ):
+            return audio_io.raw_to_np(data, np.int16), sample_rate
+    try:
+        samples, sr = audio_io.read_wav_bytes(raw, name="<request>")
+    except audio_io.WavFormatError as err:
+        raise RequestError(str(err)) from err
+    mono = audio_io.to_mono(samples)
+    if sr not in (constants.AUDIO_SAMPLE_RATE, 2 * constants.AUDIO_SAMPLE_RATE):
+        mono = audio_io.resample(mono, sr, constants.AUDIO_SAMPLE_RATE)
+        sr = constants.AUDIO_SAMPLE_RATE
+    return mono.astype(np.float32), sr
+
+
+# decode parameters a request may set; one batch dispatch shares one set
+_PARAM_DEFAULTS = {
+    "onset_threshold": 0.5,
+    "frame_threshold": 0.3,
+    "min_note_length": 11,  # frames, like StreamingTranscriber
+    "min_freq": None,
+    "max_freq": None,
+    "infer_onsets": True,
+    "melodia_trick": True,
+    "include_pitch_bends": True,
+}
+
+
+class _Pending:
+    __slots__ = ("samples", "sr", "params", "event", "result", "error")
+
+    def __init__(self, samples, sr, params):
+        self.samples = samples
+        self.sr = sr
+        self.params = params
+        self.event = threading.Event()
+        self.result = None
+        self.error: Optional[Exception] = None
+
+
+class TranscriptionService:
+    """Thread-safe request funnel onto one StreamingTranscriber.
+
+    `submit()` blocks the calling (HTTP) thread until its events are
+    ready. A single dispatch thread drains the queue: it waits for one
+    request, gathers more for up to ``max_wait_ms`` (or until
+    ``max_batch``), groups them by decode-parameter set, and runs one
+    `transcribe_batch` per group — so concurrent callers share device
+    dispatches, which is where this pipeline's throughput lives.
+    """
+
+    def __init__(self, transcriber, max_batch: int = 8, max_wait_ms: float = 25.0):
+        self.transcriber = transcriber
+        self.max_batch = max_batch
+        self.max_wait_ms = max_wait_ms
+        self._queue: "queue.Queue[Optional[_Pending]]" = queue.Queue()
+        self._metrics_lock = threading.Lock()
+        self.metrics: Dict[str, float] = {
+            "requests": 0,
+            "errors": 0,
+            "audio_seconds": 0.0,
+            "busy_seconds": 0.0,
+            "batches": 0,
+            "notes": 0,
+        }
+        self._worker = threading.Thread(
+            target=self._run, name="bp-serve-dispatch", daemon=True
+        )
+        self._worker.start()
+
+    def close(self) -> None:
+        self._queue.put(None)
+        self._worker.join(timeout=10)
+        closer = getattr(self.transcriber, "close", None)
+        if closer is not None:
+            closer()
+
+    # ------------------------------------------------------------------
+
+    def submit(self, samples: np.ndarray, sr: int, params: Dict) -> List:
+        pending = _Pending(samples, sr, params)
+        self._queue.put(pending)
+        pending.event.wait()
+        if pending.error is not None:
+            raise pending.error
+        return pending.result
+
+    def _gather(self) -> List[_Pending]:
+        first = self._queue.get()
+        if first is None:
+            return []
+        group = [first]
+        deadline = time.monotonic() + self.max_wait_ms / 1e3
+        while len(group) < self.max_batch:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                item = self._queue.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if item is None:  # propagate shutdown after serving this group
+                self._queue.put(None)
+                break
+            group.append(item)
+        return group
+
+    def _run(self) -> None:
+        while True:
+            group = self._gather()
+            if not group:
+                return
+            by_params: Dict[tuple, List[_Pending]] = {}
+            for item in group:
+                key = tuple(sorted(item.params.items()))
+                by_params.setdefault(key, []).append(item)
+            for items in by_params.values():
+                self._dispatch_group(items)
+
+    def _dispatch_group(self, items: List[_Pending]) -> None:
+        t0 = time.monotonic()
+        params = items[0].params
+        try:
+            results = self.transcriber.transcribe_batch(
+                [(it.samples, it.sr) for it in items], **params
+            )
+            for item, events in zip(items, results):
+                item.result = events
+        except Exception as err:  # noqa: BLE001 — delivered to the caller
+            for item in items:
+                item.error = err
+        finally:
+            wall = time.monotonic() - t0
+            with self._metrics_lock:
+                self.metrics["batches"] += 1
+                self.metrics["busy_seconds"] += wall
+                for item in items:
+                    self.metrics["requests"] += 1
+                    if item.error is not None:
+                        self.metrics["errors"] += 1
+                    else:
+                        rate = item.sr
+                        self.metrics["audio_seconds"] += len(item.samples) / rate
+                        self.metrics["notes"] += len(item.result)
+            for item in items:
+                item.event.set()
+
+    # ------------------------------------------------------------------
+
+    def info(self) -> Dict:
+        tr = self.transcriber
+        return {
+            "status": "ok",
+            "decode_backend": getattr(tr, "decode_backend", None),
+            "pcm_transport": getattr(tr, "pcm_transport", None),
+            "windows_per_chunk": getattr(tr, "w", None),
+        }
+
+    def snapshot_metrics(self) -> Dict:
+        with self._metrics_lock:
+            m = dict(self.metrics)
+        busy = m["busy_seconds"]
+        m["x_realtime_busy"] = round(m["audio_seconds"] / busy, 1) if busy else None
+        return m
+
+
+def _parse_params(query: Dict[str, List[str]]) -> Dict:
+    """Query string -> transcribe_batch kwargs (reference CLI flag names
+    and this pipeline's short names both accepted)."""
+    alias = {
+        "minimum_note_length": "min_note_length",
+        "minimum_frequency": "min_freq",
+        "maximum_frequency": "max_freq",
+        "melodia": "melodia_trick",
+        "no_melodia": "no_melodia",
+    }
+    params = dict(_PARAM_DEFAULTS)
+    for key, values in query.items():
+        if key in ("format", "midi_tempo", "multiple_pitch_bends"):
+            continue
+        name = alias.get(key, key)
+        if name == "no_melodia":
+            params["melodia_trick"] = values[-1].lower() not in ("1", "true", "yes")
+            continue
+        if name not in params:
+            raise RequestError(f"unknown parameter {key!r}")
+        value = values[-1]
+        if name in ("infer_onsets", "melodia_trick", "include_pitch_bends"):
+            params[name] = value.lower() in ("1", "true", "yes")
+        elif name == "min_note_length":
+            params[name] = int(value)
+        else:
+            params[name] = float(value)
+    return params
+
+
+def _events_json(events: List, duration_s: float) -> bytes:
+    notes = [
+        {
+            "start_time_s": float(start),
+            "end_time_s": float(end),
+            "pitch_midi": int(pitch),
+            "amplitude": float(amplitude),
+            "velocity": int(np.round(127 * amplitude)),
+            "pitch_bends": list(map(int, bends)) if bends is not None else None,
+        }
+        for start, end, pitch, amplitude, bends in events
+    ]
+    return json.dumps(
+        {"duration_s": round(duration_s, 3), "n_notes": len(notes), "notes": notes}
+    ).encode()
+
+
+def _events_csv(events: List) -> bytes:
+    # the reference CSV schema (inference.py save_note_events): bends joined
+    lines = ["start_time_s,end_time_s,pitch_midi,velocity,pitch_bend"]
+    for start, end, pitch, amplitude, bends in events:
+        bend_cols = "," + ",".join(str(int(b)) for b in bends) if bends else ""
+        lines.append(
+            f"{start},{end},{int(pitch)},{int(np.round(127 * amplitude))}{bend_cols}"
+        )
+    return ("\n".join(lines) + "\n").encode()
+
+
+def _events_midi(events: List, tempo: float, multiple_pitch_bends: bool) -> bytes:
+    import io
+
+    from basic_pitch_tpu.decode import export
+
+    midi = export.note_events_to_midi(
+        events, multiple_pitch_bends=multiple_pitch_bends, midi_tempo=tempo
+    )
+    buf = io.BytesIO()
+    midi.write(buf)
+    return buf.getvalue()
+
+
+class TranscriptionHandler(BaseHTTPRequestHandler):
+    """Routes; the service instance is attached to the server object."""
+
+    server_version = "basic-pitch-tpu"
+    protocol_version = "HTTP/1.1"
+
+    def log_message(self, fmt, *args):  # route through logging, not stderr
+        import logging
+
+        logging.getLogger(__name__).info("%s " + fmt, self.address_string(), *args)
+
+    def _send(self, code: int, body: bytes, content_type: str) -> None:
+        self.send_response(code)
+        self.send_header("Content-Type", content_type)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _send_json(self, code: int, payload: Dict) -> None:
+        self._send(code, json.dumps(payload).encode(), "application/json")
+
+    def do_GET(self):  # noqa: N802 — BaseHTTPRequestHandler contract
+        service: TranscriptionService = self.server.service
+        path = urlparse(self.path).path
+        if path == "/healthz":
+            self._send_json(200, service.info())
+        elif path == "/metrics":
+            self._send_json(200, service.snapshot_metrics())
+        else:
+            self._send_json(404, {"error": f"no route {path!r}"})
+
+    def do_POST(self):  # noqa: N802
+        service: TranscriptionService = self.server.service
+        url = urlparse(self.path)
+        if url.path not in ("/v1/transcribe", "/transcribe"):
+            self._send_json(404, {"error": f"no route {url.path!r}"})
+            return
+        try:
+            length = int(self.headers.get("Content-Length", "0"))
+            if length > MAX_BODY_BYTES:
+                raise RequestError(f"body exceeds {MAX_BODY_BYTES} bytes")
+            raw = self.rfile.read(length)
+            query = parse_qs(url.query)
+            params = _parse_params(query)
+            samples, sr = decode_wav_request(raw)
+            events = service.submit(samples, sr, params)
+            fmt = query.get("format", ["json"])[-1]
+            duration = len(samples) / sr
+            if fmt == "json":
+                self._send(200, _events_json(events, duration), "application/json")
+            elif fmt == "csv":
+                self._send(200, _events_csv(events), "text/csv")
+            elif fmt in ("midi", "mid"):
+                tempo = float(query.get("midi_tempo", ["120"])[-1])
+                multi = query.get("multiple_pitch_bends", ["0"])[-1].lower() in (
+                    "1",
+                    "true",
+                    "yes",
+                )
+                self._send(200, _events_midi(events, tempo, multi), "audio/midi")
+            else:
+                raise RequestError(f"unknown format {fmt!r} (json|csv|midi)")
+        except RequestError as err:
+            self._send_json(400, {"error": str(err)})
+        except Exception as err:  # noqa: BLE001 — server stays up
+            import logging
+
+            logging.getLogger(__name__).exception("transcribe failed")
+            self._send_json(500, {"error": f"{type(err).__name__}: {err}"})
+
+
+def make_server(
+    service: TranscriptionService, host: str = "127.0.0.1", port: int = 0
+) -> ThreadingHTTPServer:
+    """Bind (port 0 picks a free one); caller runs serve_forever()."""
+    server = ThreadingHTTPServer((host, port), TranscriptionHandler)
+    server.service = service
+    return server

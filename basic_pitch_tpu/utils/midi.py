@@ -61,16 +61,25 @@ class MidiFile:
     _MELODIC_CHANNELS = tuple(c for c in range(16) if c != 9)
 
     def write(self, path: PathLike) -> None:
-        """Serialize as a format-1 Standard MIDI File."""
+        """Serialize as a format-1 Standard MIDI File.
+
+        ``path`` may also be an open binary file object (e.g. BytesIO — the
+        HTTP server streams MIDI without touching disk)."""
         tracks = [self._tempo_track()]
         for channel_slot, instrument in enumerate(self.instruments):
             channel = self._MELODIC_CHANNELS[channel_slot % len(self._MELODIC_CHANNELS)]
             tracks.append(self._instrument_track(instrument, channel))
 
-        with open(path, "wb") as fh:
+        def _emit(fh) -> None:
             fh.write(b"MThd" + struct.pack(">IHHH", 6, 1, len(tracks), self.resolution))
             for track in tracks:
                 fh.write(b"MTrk" + struct.pack(">I", len(track)) + track)
+
+        if hasattr(path, "write"):
+            _emit(path)
+        else:
+            with open(path, "wb") as fh:
+                _emit(fh)
 
     def _tempo_track(self) -> bytes:
         microseconds_per_quarter = int(round(60_000_000 / self.tempo))

@@ -1,0 +1,196 @@
+"""HTTP serving frontend (serve.py + cli/serve.py).
+
+Drives a REAL ThreadingHTTPServer over localhost: WAV bytes in, events
+out, with parity pinned against the library path (`predict`) on the
+reference's golden clip. Also covers micro-batching of concurrent
+requests, parameter grouping, error paths, and the metrics surface.
+"""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+from basic_pitch_tpu import constants, pipeline, serve
+
+GOLDEN_WAV = "/root/reference/tests/resources/vocadito_10.wav"
+
+
+@pytest.fixture(scope="module")
+def server(nmp_params):
+    transcriber = pipeline.StreamingTranscriber(windows_per_chunk=16)
+    service = serve.TranscriptionService(transcriber, max_batch=4, max_wait_ms=10.0)
+    srv = serve.make_server(service, "127.0.0.1", 0)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    host, port = srv.server_address[:2]
+    yield f"http://{host}:{port}", service
+    srv.shutdown()
+    srv.server_close()
+    service.close()
+
+
+def _post(base, path, body, headers=None):
+    req = urllib.request.Request(base + path, data=body, headers=headers or {})
+    with urllib.request.urlopen(req, timeout=120) as resp:
+        return resp.status, resp.headers.get_content_type(), resp.read()
+
+
+def _get(base, path):
+    with urllib.request.urlopen(base + path, timeout=30) as resp:
+        return resp.status, json.loads(resp.read())
+
+
+def test_healthz_and_routes(server):
+    base, _ = server
+    status, info = _get(base, "/healthz")
+    assert status == 200
+    assert info["status"] == "ok"
+    assert info["decode_backend"] in ("xla", "pallas")
+    with pytest.raises(urllib.error.HTTPError) as err:
+        _get(base, "/nope")
+    assert err.value.code == 404
+
+
+def test_transcribe_golden_clip_matches_library(server):
+    base, _ = server
+    with open(GOLDEN_WAV, "rb") as fh:
+        wav = fh.read()
+    status, ctype, body = _post(base, "/v1/transcribe", wav)
+    assert status == 200 and ctype == "application/json"
+    payload = json.loads(body)
+    assert payload["n_notes"] == len(payload["notes"])
+
+    from basic_pitch_tpu.inference import predict
+
+    _, _, library_events = predict(GOLDEN_WAV)
+    assert payload["n_notes"] == len(library_events)
+    for got, want in zip(payload["notes"], library_events):
+        assert got["pitch_midi"] == want[2]
+        assert abs(got["start_time_s"] - want[0]) < 1e-6
+        assert abs(got["end_time_s"] - want[1]) < 1e-6
+        want_bends = list(want[4]) if want[4] is not None else None
+        assert got["pitch_bends"] == want_bends
+
+
+def test_transcribe_formats(server):
+    base, _ = server
+    with open(GOLDEN_WAV, "rb") as fh:
+        wav = fh.read()
+    status, ctype, body = _post(base, "/v1/transcribe?format=csv", wav)
+    assert status == 200 and ctype == "text/csv"
+    lines = body.decode().splitlines()
+    assert lines[0].startswith("start_time_s,end_time_s,pitch_midi,velocity")
+    assert len(lines) > 1
+
+    status, ctype, body = _post(base, "/v1/transcribe?format=midi", wav)
+    assert status == 200 and ctype == "audio/midi"
+    assert body[:4] == b"MThd"
+    # the in-repo SMF reader parses what the server emitted
+    import tempfile
+
+    from basic_pitch_tpu.utils import midi as midi_io
+
+    with tempfile.NamedTemporaryFile(suffix=".mid") as fh:
+        fh.write(body)
+        fh.flush()
+        parsed = midi_io.read_midi(fh.name)
+    assert sum(len(i.notes) for i in parsed.instruments) == len(lines) - 1
+
+
+def test_transcribe_parameters(server):
+    base, _ = server
+    with open(GOLDEN_WAV, "rb") as fh:
+        wav = fh.read()
+    # a frequency cage: every note inside [200, 500] Hz
+    status, _, body = _post(
+        base,
+        "/v1/transcribe?minimum_frequency=200&maximum_frequency=500"
+        "&onset_threshold=0.8",
+        wav,
+    )
+    assert status == 200
+    notes = json.loads(body)["notes"]
+    for n in notes:
+        hz = 440.0 * 2 ** ((n["pitch_midi"] - 69) / 12)
+        assert 180 <= hz <= 550  # cage plus rounding at the bin edges
+
+    with pytest.raises(urllib.error.HTTPError) as err:
+        _post(base, "/v1/transcribe?bogus_param=1", wav)
+    assert err.value.code == 400
+    assert "bogus_param" in json.loads(err.value.read())["error"]
+
+
+def test_bad_bodies(server):
+    base, _ = server
+    for body in (b"", b"not a wav at all" * 10):
+        with pytest.raises(urllib.error.HTTPError) as err:
+            _post(base, "/v1/transcribe", body)
+        assert err.value.code == 400
+
+
+def test_concurrent_requests_batch_together(server):
+    base, service = server
+    with open(GOLDEN_WAV, "rb") as fh:
+        wav = fh.read()
+    before = service.snapshot_metrics()
+
+    results = [None] * 4
+    def hit(i):
+        results[i] = _post(base, "/v1/transcribe", wav)
+
+    threads = [threading.Thread(target=hit, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    payloads = [json.loads(body) for status, _, body in results if status == 200]
+    assert len(payloads) == 4
+    assert len({p["n_notes"] for p in payloads}) == 1  # identical answers
+
+    after = service.snapshot_metrics()
+    assert after["requests"] - before["requests"] == 4
+    assert after["audio_seconds"] > before["audio_seconds"]
+    # batching happened: fewer dispatches than requests (4 identical
+    # requests arriving together share transcribe_batch calls)
+    assert after["batches"] - before["batches"] < 4
+
+
+def test_decode_wav_request_pcm16_passthrough():
+    sr = constants.AUDIO_SAMPLE_RATE
+    pcm = (np.sin(np.arange(sr) * 0.05) * 20000).astype(np.int16)
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(pcm.tobytes())
+    samples, got_sr = serve.decode_wav_request(buf.getvalue())
+    assert got_sr == sr
+    assert samples.dtype == np.int16
+    np.testing.assert_array_equal(samples, pcm)  # exact: codec-eligible
+
+    # 48 kHz stereo float: decodes, mixes down, resamples to the model rate
+    buf = io.BytesIO()
+    stereo = np.stack([pcm, pcm], axis=1).astype(np.int16)
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(48000)
+        w.writeframes(stereo.tobytes())
+    samples, got_sr = serve.decode_wav_request(buf.getvalue())
+    assert got_sr == constants.AUDIO_SAMPLE_RATE
+    assert samples.dtype == np.float32
+
+
+def test_cli_parser_smoke():
+    from basic_pitch_tpu.cli import serve as serve_cli
+
+    ns = serve_cli.build_parser().parse_args(["--port", "0", "--max-batch", "2"])
+    assert ns.port == 0 and ns.max_batch == 2 and ns.pcm_transport == "auto"
