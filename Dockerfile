@@ -9,6 +9,10 @@
 #   docker build -t basic-pitch-tpu .
 #   docker run --rm -v $PWD:/work basic-pitch-tpu basic-pitch /work/out /work/song.wav
 #
+# Serving:
+#   docker run --rm -p 8132:8132 basic-pitch-tpu \
+#     basic-pitch-serve --host 0.0.0.0 --port 8132
+#
 # TPU VM variant: build with --build-arg JAX_EXTRA="jax[tpu]" and run with
 # the host's TPU runtime exposed (--privileged on a Cloud TPU VM).
 
