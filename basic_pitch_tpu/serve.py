@@ -140,6 +140,7 @@ class TranscriptionService:
         self._worker.start()
 
     def close(self) -> None:
+        self._closed = True
         self._queue.put(None)
         self._worker.join(timeout=10)
         closer = getattr(self.transcriber, "close", None)
@@ -149,6 +150,8 @@ class TranscriptionService:
     # ------------------------------------------------------------------
 
     def submit(self, samples: np.ndarray, sr: int, params: Dict) -> List:
+        if getattr(self, "_closed", False):
+            raise RuntimeError("TranscriptionService is closed")
         pending = _Pending(samples, sr, params)
         self._queue.put(pending)
         pending.event.wait()
