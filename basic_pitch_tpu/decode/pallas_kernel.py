@@ -570,13 +570,13 @@ def pallas_greedy_stages(
         num_scalar_prefetch=2,
         grid=(1,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # order (HBM, DMA-staged)
-            pl.BlockSpec(memory_space=pltpu.ANY),  # frames
+            pl.BlockSpec(memory_space=pl.ANY),  # order (HBM, DMA-staged)
+            pl.BlockSpec(memory_space=pl.ANY),  # frames
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),  # notes
             pl.BlockSpec(memory_space=pltpu.SMEM),  # meta
-            pl.BlockSpec(memory_space=pltpu.ANY),  # remaining (mutable state)
+            pl.BlockSpec(memory_space=pl.ANY),  # remaining (mutable state)
         ],
         scratch_shapes=[
             pltpu.VMEM((16, slab_w), jnp.float32),
