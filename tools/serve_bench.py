@@ -1,0 +1,235 @@
+"""Serving benchmark: concurrent HTTP callers through one chip.
+
+The reference is a batch CLI only; this framework adds an HTTP serving
+frontend (`basic_pitch_tpu/serve.py`) whose throughput claim is that
+cross-request micro-batching shares device dispatches between concurrent
+callers. This harness proves that claim on the real chip and records the
+evidence in ``SERVE_BENCH.json`` (the serving analogue of
+``TRAIN_BENCH.json``):
+
+- starts a REAL ``ThreadingHTTPServer`` + ``TranscriptionService`` on
+  localhost over a ``StreamingTranscriber`` on the default device;
+- drives it with N concurrent clients each POSTing PCM16 WAV clips
+  (synthetic polyphony + the reference's vocadito vocal clip tiled) and
+  checking the JSON response;
+- records per-request latency percentiles, aggregate audio-seconds/s,
+  batching occupancy (requests per device dispatch from ``/metrics``),
+  and a single-caller baseline so the batching win is visible;
+- cross-checks parity: one golden-clip request must match the library
+  path (`inference.predict`) event-for-event before any timing counts.
+
+Run on hardware:  python tools/serve_bench.py
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import struct
+import sys
+import threading
+import time
+import urllib.request
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def pcm16_wav_bytes(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Minimal RIFF/WAVE PCM16 mono writer (request payloads)."""
+    pcm = np.clip(np.round(samples * 32768.0), -32768, 32767).astype("<i2")
+    data = pcm.tobytes()
+    hdr = io.BytesIO()
+    hdr.write(b"RIFF")
+    hdr.write(struct.pack("<I", 36 + len(data)))
+    hdr.write(b"WAVEfmt ")
+    hdr.write(struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16))
+    hdr.write(b"data")
+    hdr.write(struct.pack("<I", len(data)))
+    return hdr.getvalue() + data
+
+
+def make_clips(clip_seconds: float, n_clips: int, sample_rate: int) -> list[bytes]:
+    """Workload clips: synthetic polyphony plus real vocals (tiled)."""
+    import bench  # repo-root bench.py: synth_audio / real_audio
+
+    clips = []
+    for i in range(n_clips):
+        if i % 4 == 3:
+            y = bench.real_audio(clip_seconds, sample_rate)
+        else:
+            y = bench.synth_audio(clip_seconds, sample_rate, seed=100 + i)
+        clips.append(pcm16_wav_bytes(y, sample_rate))
+    return clips
+
+
+def post(base: str, path: str, body: bytes, timeout: float = 600.0):
+    req = urllib.request.Request(base + path, data=body)
+    t0 = time.monotonic()
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
+        payload = resp.read()
+    return time.monotonic() - t0, json.loads(payload)
+
+
+def get_json(base: str, path: str):
+    with urllib.request.urlopen(base + path, timeout=60) as resp:
+        return json.loads(resp.read())
+
+
+def run_load(base: str, clips: list[bytes], n_clients: int, requests_per_client: int):
+    """Concurrent closed-loop clients; returns latencies + wall time."""
+    latencies: list[float] = []
+    notes = 0
+    lock = threading.Lock()
+
+    def client(cid: int):
+        nonlocal notes
+        for r in range(requests_per_client):
+            clip = clips[(cid * requests_per_client + r) % len(clips)]
+            dt, payload = post(base, "/v1/transcribe?format=json", clip)
+            with lock:
+                latencies.append(dt)
+                notes += payload["n_notes"]
+
+    t0 = time.monotonic()
+    with ThreadPoolExecutor(max_workers=n_clients) as pool:
+        futures = [pool.submit(client, c) for c in range(n_clients)]
+        for f in futures:
+            f.result()
+    wall = time.monotonic() - t0
+    return wall, latencies, notes
+
+
+def pct(xs, q):
+    return round(float(np.percentile(xs, q)), 3)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--clip-seconds", type=float, default=30.0)
+    ap.add_argument("--clients", type=int, default=8)
+    ap.add_argument("--requests-per-client", type=int, default=6)
+    ap.add_argument("--max-batch", type=int, default=8)
+    ap.add_argument("--max-wait-ms", type=float, default=25.0)
+    ap.add_argument("--windows-per-chunk", type=int, default=128)
+    ap.add_argument("--out", default=str(REPO / "SERVE_BENCH.json"))
+    ns = ap.parse_args()
+
+    import jax
+
+    from basic_pitch_tpu import constants, inference, pipeline, serve
+    from basic_pitch_tpu.ops import transport as transport_mod
+
+    sr = constants.AUDIO_SAMPLE_RATE
+    device = jax.devices()[0]
+
+    transcriber = pipeline.StreamingTranscriber(
+        windows_per_chunk=ns.windows_per_chunk,
+        decode_backend="auto",
+        pcm_transport="auto",
+    )
+    service = serve.TranscriptionService(
+        transcriber, max_batch=ns.max_batch, max_wait_ms=ns.max_wait_ms
+    )
+    srv = serve.make_server(service, "127.0.0.1", 0)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    host, port = srv.server_address[:2]
+    base = f"http://{host}:{port}"
+    print(f"[serve_bench] server on {base} device={device}")
+
+    try:
+        # parity gate: the golden clip through HTTP must equal the library
+        golden = Path("/root/reference/tests/resources/vocadito_10.wav")
+        parity = None
+        if golden.exists():
+            _, http_payload = post(base, "/v1/transcribe?format=json", golden.read_bytes())
+            _, _, lib_events = inference.predict(str(golden))
+            http_events = [
+                (n["start_time_s"], n["end_time_s"], n["pitch_midi"])
+                for n in http_payload["notes"]
+            ]
+            lib_keyed = [(s, e, p) for s, e, p, *_ in lib_events]
+            match = len(http_events) == len(lib_keyed) and all(
+                abs(a[0] - b[0]) < 1e-6 and abs(a[1] - b[1]) < 1e-6 and a[2] == b[2]
+                for a, b in zip(sorted(http_events), sorted(lib_keyed))
+            )
+            parity = {"golden_events": len(lib_keyed), "http_matches_library": match}
+            print(f"[serve_bench] parity: {parity}")
+            if not match:
+                raise SystemExit("HTTP events diverge from the library path")
+
+        clips = make_clips(ns.clip_seconds, max(8, ns.clients), sr)
+        clip_audio_s = ns.clip_seconds
+
+        # warm all shapes (compile) before any timed window
+        post(base, "/v1/transcribe?format=json", clips[0])
+
+        # single-caller baseline: no batching possible
+        t_wall, lat1, _ = run_load(base, clips[:4], n_clients=1, requests_per_client=4)
+        single = {
+            "requests": 4,
+            "wall_s": round(t_wall, 3),
+            "audio_sec_per_s": round(4 * clip_audio_s / t_wall, 1),
+            "latency_p50_s": pct(lat1, 50),
+            "latency_p95_s": pct(lat1, 95),
+        }
+        print(f"[serve_bench] single-caller: {single}")
+
+        m0 = get_json(base, "/metrics")
+        t_wall, lats, notes = run_load(
+            base, clips, n_clients=ns.clients, requests_per_client=ns.requests_per_client
+        )
+        m1 = get_json(base, "/metrics")
+        n_req = ns.clients * ns.requests_per_client
+        batches = m1["batches"] - m0["batches"]
+        loaded = {
+            "clients": ns.clients,
+            "requests": n_req,
+            "wall_s": round(t_wall, 3),
+            "audio_sec_per_s": round(n_req * clip_audio_s / t_wall, 1),
+            "requests_per_s": round(n_req / t_wall, 2),
+            "latency_p50_s": pct(lats, 50),
+            "latency_p95_s": pct(lats, 95),
+            "latency_max_s": pct(lats, 100),
+            "device_dispatches": batches,
+            "requests_per_dispatch": round(n_req / batches, 2) if batches else None,
+            "notes": notes,
+        }
+        print(f"[serve_bench] loaded: {loaded}")
+
+        record = {
+            "metric": "serving_throughput_audio_sec_per_s",
+            "value": loaded["audio_sec_per_s"],
+            "unit": "audio_sec_per_s",
+            "detail": {
+                "device": str(device),
+                "clip_seconds": clip_audio_s,
+                "decode_backend": transcriber.decode_backend,
+                "pcm_transport": transport_mod.report(),
+                "max_batch": ns.max_batch,
+                "max_wait_ms": ns.max_wait_ms,
+                "parity": parity,
+                "single_caller": single,
+                "concurrent": loaded,
+                "batching_speedup": round(
+                    loaded["audio_sec_per_s"] / single["audio_sec_per_s"], 2
+                ),
+                "server_metrics": m1,
+            },
+        }
+        Path(ns.out).write_text(json.dumps(record, indent=2) + "\n")
+        print(json.dumps(record))
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        service.close()
+
+
+if __name__ == "__main__":
+    main()
