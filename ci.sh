@@ -45,5 +45,7 @@ python -m pip install --no-deps -q --target "$SMOKE_DIR" dist/*.whl
 PYTHONPATH="$SMOKE_DIR" python "$SMOKE_DIR/bin/basic-pitch" --help >/dev/null
 PYTHONPATH="$SMOKE_DIR" python "$SMOKE_DIR/bin/basic-pitch-train" --help >/dev/null
 PYTHONPATH="$SMOKE_DIR" python "$SMOKE_DIR/bin/bp-download" guitarset --help >/dev/null
+PYTHONPATH="$SMOKE_DIR" python "$SMOKE_DIR/bin/basic-pitch-eval" --help >/dev/null
+PYTHONPATH="$SMOKE_DIR" python "$SMOKE_DIR/bin/basic-pitch-serve" --help >/dev/null
 rm -rf "$SMOKE_DIR"
 echo "CI green ✨"
