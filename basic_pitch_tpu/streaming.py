@@ -1,0 +1,227 @@
+"""Incremental (live) transcription sessions over the device pipeline.
+
+The reference transcribes complete files only; its long-audio story is a
+host-side window generator over an already-loaded recording
+(`/root/reference/basic_pitch/inference.py:194-245`). A deployed TPU
+transcriber also wants the *online* shape of that problem: PCM arriving
+continuously (capture, a network stream), note events leaving with
+bounded latency. `StreamingSession` is that API:
+
+    session = StreamingSession(transcriber)
+    for block in microphone():          # any block size, any cadence
+        for event in session.feed(block):
+            ...                         # finalized (start, end, pitch, amp, bends)
+    tail = session.close()
+
+Design (TPU-shaped): the session re-decodes a sliding audio window with
+the SAME fused device pipeline as offline transcription — fixed-shape
+chunk programs, on-device decode — so streaming reuses the offline
+executables (no new compiles beyond the window's pow2 buckets) and
+inherits its exactness properties. Events are finalized once they end at
+least ``lookahead_seconds`` before the newest sample, so re-decodes with
+more right-context can no longer change them; un-ended (pending) notes
+stay in the window until they finish, which keeps their onsets in
+context. Worst-case emission delay is ``segment_seconds`` (decode
+cadence) + ``lookahead_seconds`` + one pipeline round trip.
+
+Decode semantics are segment-local by construction: the dB normalization,
+inferred-onset rescaling, and melodia iteration see the sliding window,
+not the whole recording — identical to offline output whenever the window
+covers the surrounding material (tests pin this on gapped melodies), and
+documented to differ on material whose global statistics matter. Notes
+longer than ``max_context_seconds`` are finalized with their onset
+clamped to the window edge.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from basic_pitch_tpu import constants
+
+Event = Tuple[float, float, int, float, Optional[list]]
+
+_TRIM_GUARD_S = 0.5  # context kept behind the oldest pending onset
+
+
+class StreamingSession:
+    """Stateful incremental transcription over one StreamingTranscriber.
+
+    Feed mono PCM (float32 in [-1, 1] or int16) at 22.05 or 44.1 kHz in
+    blocks of any size; collect finalized note events (absolute times in
+    seconds since the start of the stream, `inference.predict`'s tuple
+    format). Sessions are cheap — the heavy state (executables, params)
+    lives in the shared transcriber; concurrent sessions may share one.
+
+    Not thread-safe; drive each session from one thread.
+    """
+
+    def __init__(
+        self,
+        transcriber,
+        sample_rate: int = constants.AUDIO_SAMPLE_RATE,
+        segment_seconds: float = 2.0,
+        lookahead_seconds: float = 1.0,
+        max_context_seconds: float = 12.0,
+        dedup_tolerance_s: float = 0.04,
+        **decode_params,
+    ):
+        # trims land on the model's window-hop grid so a sliding decode
+        # re-windows the stream into the SAME 43844-sample windows offline
+        # decoding would use: interior posteriorgrams are then bit-identical
+        # and decode differences are confined to the window's edges (which
+        # the finalized-horizon logic owns)
+        if sample_rate == constants.AUDIO_SAMPLE_RATE:
+            self._align = constants.WINDOW_HOP_SAMPLES
+        elif sample_rate == 2 * constants.AUDIO_SAMPLE_RATE:
+            self._align = 2 * constants.WINDOW_HOP_SAMPLES
+        else:
+            raise ValueError(f"expected 22050 or 44100 Hz, got {sample_rate}")
+        if lookahead_seconds < 0 or segment_seconds <= 0:
+            raise ValueError("segment_seconds must be > 0, lookahead_seconds >= 0")
+        if max_context_seconds < segment_seconds + lookahead_seconds:
+            raise ValueError(
+                "max_context_seconds must cover segment + lookahead "
+                f"({segment_seconds + lookahead_seconds:.1f}s)"
+            )
+        self.transcriber = transcriber
+        self.sample_rate = sample_rate
+        self.segment_seconds = float(segment_seconds)
+        self.lookahead_seconds = float(lookahead_seconds)
+        self.max_context_seconds = float(max_context_seconds)
+        self.dedup_tolerance_s = float(dedup_tolerance_s)
+        self.decode_params = decode_params
+
+        self._buf: List[np.ndarray] = []
+        self._buf_start = 0  # absolute sample index of the buffer head
+        self._n_fed = 0  # absolute samples fed so far
+        self._flushed_upto = 0  # absolute samples decoded by the last flush
+        self._dtype: Optional[np.dtype] = None
+        self._closed = False
+        # finalized horizon: events ending before this were emittable at the
+        # previous flush; onsets older than it must match an emitted or
+        # pending note, or they are window-edge artifacts and are dropped
+        self._finalized_s = 0.0
+        self._emitted_keys: List[Tuple[float, int]] = []  # (onset_s, pitch)
+        self._pending_keys: List[Tuple[float, int]] = []
+        self.stats: Dict[str, float] = {
+            "flushes": 0,
+            "decoded_audio_s": 0.0,
+            "events": 0,
+        }
+
+    # ------------------------------------------------------------------
+
+    def feed(self, samples: np.ndarray) -> List[Event]:
+        """Buffer a block; decode and return newly finalized events when at
+        least ``segment_seconds`` of new audio accumulated (else [])."""
+        if self._closed:
+            raise RuntimeError("StreamingSession is closed")
+        samples = np.asarray(samples)
+        if samples.ndim != 1:
+            raise ValueError("feed() wants mono 1-D samples")
+        if samples.dtype not in (np.float32, np.int16):
+            if np.issubdtype(samples.dtype, np.floating):
+                samples = samples.astype(np.float32)
+            else:
+                raise ValueError(f"unsupported dtype {samples.dtype}")
+        if self._dtype is None:
+            self._dtype = samples.dtype
+        elif samples.dtype != self._dtype:
+            raise ValueError(
+                f"stream dtype changed from {self._dtype} to {samples.dtype}"
+            )
+        if len(samples):
+            self._buf.append(samples)
+            self._n_fed += len(samples)
+        pending_new = self._n_fed - self._flushed_upto
+        if pending_new >= int(self.segment_seconds * self.sample_rate):
+            return self._flush(final=False)
+        return []
+
+    def close(self) -> List[Event]:
+        """Decode everything outstanding and return the final events."""
+        if self._closed:
+            return []
+        self._closed = True
+        if self._n_fed == self._flushed_upto == 0:
+            return []
+        out = self._flush(final=True)
+        self._buf = []
+        return out
+
+    # ------------------------------------------------------------------
+
+    def _flush(self, final: bool) -> List[Event]:
+        sr = self.sample_rate
+        audio = (
+            self._buf[0] if len(self._buf) == 1 else np.concatenate(self._buf)
+        )
+        self._buf = [audio]
+        if not len(audio):
+            return []
+        base_s = self._buf_start / sr
+        end_s = self._n_fed / sr
+        events = self.transcriber.transcribe(audio, sr, **self.decode_params)
+        self.stats["flushes"] += 1
+        self.stats["decoded_audio_s"] += len(audio) / sr
+        self._flushed_upto = self._n_fed
+
+        emit_before = end_s if final else max(end_s - self.lookahead_seconds, 0.0)
+        tol = self.dedup_tolerance_s
+        out: List[Event] = []
+        new_pending: List[Tuple[float, int]] = []
+
+        def matches(keys, onset, pitch):
+            return any(p == pitch and abs(k - onset) <= tol for k, p in keys)
+
+        for start, end, pitch, amplitude, bends in events:
+            onset, offset = start + base_s, end + base_s
+            if matches(self._emitted_keys, onset, pitch):
+                continue  # already final in an earlier flush
+            if onset < self._finalized_s - tol and not matches(
+                self._pending_keys, onset, pitch
+            ):
+                # starts inside the already-finalized region yet never seen
+                # before: a window-edge artifact of the sliding re-decode
+                continue
+            if offset <= emit_before:
+                out.append((onset, offset, pitch, amplitude, bends))
+                self._emitted_keys.append((onset, pitch))
+            else:
+                new_pending.append((onset, pitch))
+
+        self._pending_keys = new_pending
+        self._finalized_s = max(self._finalized_s, emit_before)
+        self.stats["events"] += len(out)
+        if not final:
+            self._trim(end_s)
+        out.sort()
+        return out
+
+    def _trim(self, end_s: float) -> None:
+        """Drop buffered audio no future decode needs: keep from the oldest
+        pending onset (minus a guard) or the finalized horizon, hard-capped
+        at ``max_context_seconds``; the cut lands on the frame grid so event
+        times from later decodes stay comparable to earlier ones."""
+        keep_from_s = self._finalized_s
+        if self._pending_keys:
+            keep_from_s = min(keep_from_s, min(k for k, _ in self._pending_keys))
+        keep_from_s -= _TRIM_GUARD_S
+        keep_from_s = max(keep_from_s, end_s - self.max_context_seconds, 0.0)
+        cut = int(keep_from_s * self.sample_rate)
+        cut -= cut % self._align
+        if cut <= self._buf_start:
+            return
+        drop = cut - self._buf_start
+        audio = self._buf[0]
+        self._buf = [audio[drop:]]
+        self._buf_start = cut
+        # emitted keys older than the window can never collide again
+        floor = self._buf_start / self.sample_rate - 1.0
+        if len(self._emitted_keys) > 256:
+            self._emitted_keys = [
+                (k, p) for k, p in self._emitted_keys if k >= floor
+            ]

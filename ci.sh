@@ -47,5 +47,6 @@ PYTHONPATH="$SMOKE_DIR" python "$SMOKE_DIR/bin/basic-pitch-train" --help >/dev/n
 PYTHONPATH="$SMOKE_DIR" python "$SMOKE_DIR/bin/bp-download" guitarset --help >/dev/null
 PYTHONPATH="$SMOKE_DIR" python "$SMOKE_DIR/bin/basic-pitch-eval" --help >/dev/null
 PYTHONPATH="$SMOKE_DIR" python "$SMOKE_DIR/bin/basic-pitch-serve" --help >/dev/null
+PYTHONPATH="$SMOKE_DIR" python "$SMOKE_DIR/bin/basic-pitch-stream" --help >/dev/null
 rm -rf "$SMOKE_DIR"
 echo "CI green ✨"

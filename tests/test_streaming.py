@@ -1,0 +1,198 @@
+"""StreamingSession: incremental transcription over the device pipeline.
+
+Pins the streaming contract: block-size independence, bounded-latency
+emission (events arrive during the stream, not just at close), no
+duplicates, long-note carry across flush boundaries, and — on gapped
+melodic material where window-local decode statistics match global ones —
+event-for-event agreement with the offline `transcribe` path.
+"""
+
+import numpy as np
+import pytest
+
+from basic_pitch_tpu import constants, pipeline
+from basic_pitch_tpu.streaming import StreamingSession
+
+SR = constants.AUDIO_SAMPLE_RATE
+
+
+@pytest.fixture(scope="module")
+def transcriber(nmp_params):
+    return pipeline.StreamingTranscriber(windows_per_chunk=16)
+
+
+def tone(f0: float, seconds: float, amp: float = 0.35) -> np.ndarray:
+    t = np.arange(int(seconds * SR)) / SR
+    env = np.minimum(1.0, t / 0.02) * np.exp(-1.5 * t)
+    y = np.zeros_like(t)
+    for h, w in ((1, 1.0), (2, 0.5), (3, 0.25)):
+        y += w * np.sin(2 * np.pi * f0 * h * t)
+    return (amp * env * y).astype(np.float32)
+
+
+def melody(midis, note_s=0.45, gap_s=0.40, lead_s=0.5, tail_s=1.0) -> np.ndarray:
+    """Well-separated monophonic melody: the material where streaming and
+    offline decodes must agree exactly."""
+    parts = [np.zeros(int(lead_s * SR), np.float32)]
+    for m in midis:
+        parts.append(tone(440.0 * 2 ** ((m - 69) / 12), note_s))
+        parts.append(np.zeros(int(gap_s * SR), np.float32))
+    parts.append(np.zeros(int(tail_s * SR), np.float32))
+    return np.concatenate(parts)
+
+
+def stream_all(session, audio, block_s=0.25, rng=None):
+    """Feed audio in blocks; returns (during_stream_events, close_events)."""
+    live = []
+    i = 0
+    while i < len(audio):
+        n = int(block_s * SR)
+        if rng is not None:
+            n = int(rng.uniform(0.05, 0.6) * SR)
+        live.extend(session.feed(audio[i : i + n]))
+        i += n
+    return live, session.close()
+
+
+def assert_same_events(streamed, offline, tol=0.05):
+    assert len(streamed) == len(offline), (streamed, offline)
+    for (s1, e1, p1, *_), (s2, e2, p2, *_) in zip(sorted(streamed), sorted(offline)):
+        assert p1 == p2
+        assert abs(s1 - s2) <= tol, (s1, s2)
+        assert abs(e1 - e2) <= tol, (e1, e2)
+
+
+def test_streamed_equals_offline_on_gapped_melody(transcriber):
+    audio = melody([60, 64, 67, 72, 67, 64, 60, 55])
+    offline = transcriber.transcribe(audio, SR)
+    assert len(offline) >= 6  # the material actually transcribes
+
+    session = StreamingSession(transcriber)
+    live, tail = stream_all(session, audio)
+    assert_same_events(live + tail, offline)
+    # bounded latency: most events finalized during the stream, not at close
+    assert len(live) >= len(offline) - 2
+    assert session.stats["flushes"] >= 3
+
+
+def test_block_size_independence(transcriber):
+    audio = melody([62, 66, 69, 74])
+    offline = transcriber.transcribe(audio, SR)
+    rng = np.random.RandomState(7)
+    for trial in range(2):
+        session = StreamingSession(transcriber)
+        live, tail = stream_all(session, audio, rng=rng)
+        assert_same_events(live + tail, offline)
+
+
+def test_no_duplicates_and_sorted(transcriber):
+    audio = melody([60, 60, 60, 60], note_s=0.4, gap_s=0.5)
+    session = StreamingSession(transcriber)
+    live, tail = stream_all(session, audio, block_s=0.1)
+    events = live + tail
+    keys = [(round(s, 3), p) for s, _, p, *_ in events]
+    assert len(keys) == len(set(keys))
+    assert live == sorted(live)
+
+
+def test_long_note_carries_across_flushes(transcriber):
+    """A 3 s note spans many 2 s flush segments; it must come out once,
+    with the onset from when it actually started."""
+    # sustained tone with slow decay so the frame posteriorgram holds
+    t = np.arange(int(3.0 * SR)) / SR
+    sustained = (
+        0.4
+        * np.minimum(1.0, t / 0.02)
+        * np.exp(-0.3 * t)
+        * (
+            np.sin(2 * np.pi * 220.0 * t)
+            + 0.5 * np.sin(2 * np.pi * 440.0 * t)
+            + 0.25 * np.sin(2 * np.pi * 660.0 * t)
+        )
+    ).astype(np.float32)
+    audio = np.concatenate(
+        [np.zeros(int(0.5 * SR), np.float32), sustained, np.zeros(int(1.0 * SR), np.float32)]
+    )
+    offline = transcriber.transcribe(audio, SR)
+    session = StreamingSession(transcriber)
+    live, tail = stream_all(session, audio, block_s=0.3)
+    events = live + tail
+    assert_same_events(events, offline)
+    lows = [e for e in events if abs(e[0] - 0.5) < 0.1]
+    assert lows, events
+    assert lows[0][1] - lows[0][0] > 1.5  # the note kept its length
+
+
+def test_int16_feeds(transcriber):
+    audio = melody([65, 69, 72])
+    pcm = np.clip(np.round(audio * 32768.0), -32768, 32767).astype(np.int16)
+    offline = transcriber.transcribe(pcm, SR)
+    session = StreamingSession(transcriber)
+    live, tail = stream_all(session, pcm)
+    assert_same_events(live + tail, offline)
+
+
+def test_api_errors(transcriber):
+    session = StreamingSession(transcriber)
+    with pytest.raises(ValueError, match="mono"):
+        session.feed(np.zeros((2, 100), np.float32))
+    session.feed(np.zeros(100, np.float32))
+    with pytest.raises(ValueError, match="dtype changed"):
+        session.feed(np.zeros(100, np.int16))
+    assert session.close() == []  # sub-threshold audio: no events, clean close
+    with pytest.raises(RuntimeError):
+        session.feed(np.zeros(10, np.float32))
+    assert session.close() == []  # idempotent
+
+    with pytest.raises(ValueError, match="22050 or 44100"):
+        StreamingSession(transcriber, sample_rate=16000)
+    with pytest.raises(ValueError, match="max_context_seconds"):
+        StreamingSession(transcriber, segment_seconds=8.0, max_context_seconds=6.0)
+
+
+def test_empty_close(transcriber):
+    assert StreamingSession(transcriber).close() == []
+
+
+class _ChunkedReader:
+    """stdin stub delivering at most `chunk` bytes per read (misaligned
+    sample boundaries exercise the carry path)."""
+
+    def __init__(self, data: bytes, chunk: int):
+        self._data = data
+        self._pos = 0
+        self._chunk = chunk
+
+    def read(self, n: int) -> bytes:
+        n = min(n, self._chunk)
+        out = self._data[self._pos : self._pos + n]
+        self._pos += len(out)
+        return out
+
+
+def test_stream_cli_ndjson_matches_offline(transcriber, capsys):
+    import io
+    import json as json_mod
+
+    from basic_pitch_tpu.cli import stream as stream_cli
+
+    audio = melody([60, 67, 72])
+    pcm = np.clip(np.round(audio * 32768.0), -32768, 32767).astype(np.int16)
+    offline = transcriber.transcribe(pcm, SR)
+
+    out = io.StringIO()
+    rc = stream_cli.main(
+        ["--windows-per-chunk", "16"],
+        stdin=_ChunkedReader(pcm.tobytes(), chunk=5001),  # odd: splits samples
+        stdout=out,
+    )
+    assert rc == 0
+    lines = [json_mod.loads(line) for line in out.getvalue().splitlines()]
+    events = [
+        (d["start_time_s"], d["end_time_s"], d["pitch_midi"]) for d in lines
+    ]
+    assert_same_events(events, [(s, e, p) for s, e, p, *_ in offline])
+    assert all(d["velocity"] == int(np.round(127 * d["amplitude"])) for d in lines)
+    err = capsys.readouterr().err
+    assert "stream done" in err
+    assert "trailing byte" not in err
