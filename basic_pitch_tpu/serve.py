@@ -22,6 +22,13 @@ config 2). This module is that frontend:
          (onset_threshold, frame_threshold, minimum_note_length,
          minimum_frequency, maximum_frequency, melodia, infer_onsets,
          midi_tempo); ``format=json|midi|csv`` selects the response body.
+    POST /v1/stream        -> raw PCM body (s16le|f32le mono, chunked or
+         content-length), NDJSON note events streamed back as they
+         finalize (`streaming.StreamingSession`); flush decodes ride the
+         same micro-batcher, so concurrent streams share device
+         dispatches with each other and with ordinary requests. Query:
+         sample_rate, pcm_format, segment_seconds, lookahead_seconds,
+         max_context_seconds + the decode params above.
 
 - `basic-pitch-serve` console script (`cli/serve.py`) starts it.
 
@@ -98,15 +105,16 @@ _PARAM_DEFAULTS = {
 
 
 class _Pending:
-    __slots__ = ("samples", "sr", "params", "event", "result", "error")
+    __slots__ = ("samples", "sr", "params", "event", "result", "error", "kind")
 
-    def __init__(self, samples, sr, params):
+    def __init__(self, samples, sr, params, kind="request"):
         self.samples = samples
         self.sr = sr
         self.params = params
         self.event = threading.Event()
         self.result = None
         self.error: Optional[Exception] = None
+        self.kind = kind  # "request" | "stream_flush" (metrics accounting)
 
 
 class TranscriptionService:
@@ -133,6 +141,8 @@ class TranscriptionService:
             "busy_seconds": 0.0,
             "batches": 0,
             "notes": 0,
+            "streams": 0,
+            "stream_flushes": 0,
         }
         self._worker = threading.Thread(
             target=self._run, name="bp-serve-dispatch", daemon=True
@@ -149,10 +159,12 @@ class TranscriptionService:
 
     # ------------------------------------------------------------------
 
-    def submit(self, samples: np.ndarray, sr: int, params: Dict) -> List:
+    def submit(
+        self, samples: np.ndarray, sr: int, params: Dict, kind: str = "request"
+    ) -> List:
         if getattr(self, "_closed", False):
             raise RuntimeError("TranscriptionService is closed")
-        pending = _Pending(samples, sr, params)
+        pending = _Pending(samples, sr, params, kind)
         self._queue.put(pending)
         pending.event.wait()
         if pending.error is not None:
@@ -209,6 +221,13 @@ class TranscriptionService:
                 self.metrics["batches"] += 1
                 self.metrics["busy_seconds"] += wall
                 for item in items:
+                    if item.kind == "stream_flush":
+                        # a sliding-window re-decode, not a caller request:
+                        # counting its audio would double-book the stream
+                        self.metrics["stream_flushes"] += 1
+                        if item.error is not None:
+                            self.metrics["errors"] += 1
+                        continue
                     self.metrics["requests"] += 1
                     if item.error is not None:
                         self.metrics["errors"] += 1
@@ -340,9 +359,160 @@ class TranscriptionHandler(BaseHTTPRequestHandler):
         else:
             self._send_json(404, {"error": f"no route {path!r}"})
 
+    # ---- live streaming route -----------------------------------------
+
+    def _body_blocks(self):
+        """Yield request-body byte blocks incrementally: chunked
+        transfer-encoding when the client streams (ffmpeg | curl -T -),
+        content-length read in slices otherwise. Total is capped."""
+        total = 0
+        te = (self.headers.get("Transfer-Encoding") or "").lower()
+        if "chunked" in te:
+            while True:
+                line = self.rfile.readline(1024)
+                if not line:
+                    return
+                size = int(line.strip().split(b";")[0] or b"0", 16)
+                if size == 0:
+                    while True:  # consume optional trailers
+                        trailer = self.rfile.readline(1024)
+                        if trailer in (b"\r\n", b"\n", b""):
+                            return
+                total += size
+                if total > MAX_BODY_BYTES:
+                    raise RequestError(f"stream exceeds {MAX_BODY_BYTES} bytes")
+                data = self.rfile.read(size)
+                self.rfile.read(2)  # chunk-terminating CRLF
+                yield data
+        else:
+            remaining = int(self.headers.get("Content-Length", "0"))
+            if remaining > MAX_BODY_BYTES:
+                raise RequestError(f"body exceeds {MAX_BODY_BYTES} bytes")
+            while remaining > 0:
+                data = self.rfile.read(min(64 * 1024, remaining))
+                if not data:
+                    return
+                remaining -= len(data)
+                yield data
+
+    def _write_chunk(self, payload: bytes) -> None:
+        self.wfile.write(f"{len(payload):x}\r\n".encode() + payload + b"\r\n")
+        self.wfile.flush()
+
+    def _emit_stream_events(self, events) -> None:
+        for start, end, pitch, amplitude, bends in events:
+            self._write_chunk(
+                json.dumps(
+                    {
+                        "start_time_s": round(float(start), 6),
+                        "end_time_s": round(float(end), 6),
+                        "pitch_midi": int(pitch),
+                        "amplitude": round(float(amplitude), 6),
+                        "velocity": int(np.round(127 * float(amplitude))),
+                        "pitch_bends": (
+                            [int(b) for b in bends] if bends is not None else None
+                        ),
+                    }
+                ).encode()
+                + b"\n"
+            )
+
+    def _do_stream(self, url) -> None:
+        """POST /v1/stream — raw PCM body (s16le/f32le mono), NDJSON note
+        events streamed back as they finalize. Flush decodes go through the
+        service's micro-batcher, so concurrent streams (and ordinary
+        requests) share device dispatches."""
+        from basic_pitch_tpu import streaming
+
+        service: TranscriptionService = self.server.service
+        query = parse_qs(url.query)
+        stream_keys = {
+            "sample_rate": "22050",
+            "pcm_format": "s16le",
+            "segment_seconds": "2.0",
+            "lookahead_seconds": "1.0",
+            "max_context_seconds": "12.0",
+        }
+        stream_q = {
+            k: query.pop(k, [v])[-1] for k, v in stream_keys.items()
+        }
+        params = _parse_params(query)
+        pcm_format = stream_q["pcm_format"]
+        if pcm_format not in ("s16le", "f32le"):
+            raise RequestError(f"unknown pcm_format {pcm_format!r} (s16le|f32le)")
+        dtype = np.dtype(np.int16 if pcm_format == "s16le" else np.float32)
+        try:
+            session = streaming.StreamingSession(
+                None,
+                sample_rate=int(stream_q["sample_rate"]),
+                segment_seconds=float(stream_q["segment_seconds"]),
+                lookahead_seconds=float(stream_q["lookahead_seconds"]),
+                max_context_seconds=float(stream_q["max_context_seconds"]),
+                transcribe_fn=lambda audio, sr, **_: service.submit(
+                    audio, sr, params, kind="stream_flush"
+                ),
+            )
+        except ValueError as err:
+            raise RequestError(str(err)) from err
+        with service._metrics_lock:
+            service.metrics["streams"] += 1
+
+        self.send_response(200)
+        self.send_header("Content-Type", "application/x-ndjson")
+        self.send_header("Transfer-Encoding", "chunked")
+        self.end_headers()
+        carry = b""
+        try:
+            try:
+                for block in self._body_blocks():
+                    raw = carry + block
+                    usable = len(raw) - len(raw) % dtype.itemsize
+                    carry = raw[usable:]
+                    if usable:
+                        samples = np.frombuffer(raw[:usable], dtype=dtype)
+                        self._emit_stream_events(session.feed(samples))
+                self._emit_stream_events(session.close())
+            except RequestError as err:
+                # response already started: report in-band, then terminate
+                self._write_chunk(json.dumps({"error": str(err)}).encode() + b"\n")
+        finally:
+            if not session.closed:  # client vanished mid-stream
+                session.close()
+            try:
+                # zero-length chunk = the chunked-encoding terminator
+                self._write_chunk(b"")
+            except OSError:
+                pass
+
+    def _handle_stream(self, url) -> None:
+        try:
+            self._do_stream(url)
+        except RequestError as err:
+            self._send_json(400, {"error": str(err)})
+        except (BrokenPipeError, ConnectionResetError):
+            pass  # client went away mid-stream
+        except Exception as err:  # noqa: BLE001 — server stays up
+            import logging
+
+            logging.getLogger(__name__).exception("stream failed")
+            try:
+                self._send_json(500, {"error": f"{type(err).__name__}: {err}"})
+            except Exception:  # response already started
+                pass
+
+    def do_PUT(self):  # noqa: N802 — `curl -T -` (chunked upload) sends PUT
+        url = urlparse(self.path)
+        if url.path in ("/v1/stream", "/stream"):
+            self._handle_stream(url)
+        else:
+            self._send_json(404, {"error": f"no route {url.path!r}"})
+
     def do_POST(self):  # noqa: N802
         service: TranscriptionService = self.server.service
         url = urlparse(self.path)
+        if url.path in ("/v1/stream", "/stream"):
+            self._handle_stream(url)
+            return
         if url.path not in ("/v1/transcribe", "/transcribe"):
             self._send_json(404, {"error": f"no route {url.path!r}"})
             return

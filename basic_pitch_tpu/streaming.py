@@ -66,8 +66,13 @@ class StreamingSession:
         lookahead_seconds: float = 1.0,
         max_context_seconds: float = 12.0,
         dedup_tolerance_s: float = 0.04,
+        transcribe_fn=None,
         **decode_params,
     ):
+        """``transcribe_fn(audio, sample_rate, **decode_params) -> events``
+        overrides ``transcriber.transcribe`` — e.g. the HTTP server routes
+        flushes through its micro-batcher so concurrent streams share
+        device dispatches (serve.py)."""
         # trims land on the model's window-hop grid so a sliding decode
         # re-windows the stream into the SAME 43844-sample windows offline
         # decoding would use: interior posteriorgrams are then bit-identical
@@ -87,6 +92,11 @@ class StreamingSession:
                 f"({segment_seconds + lookahead_seconds:.1f}s)"
             )
         self.transcriber = transcriber
+        self._transcribe_fn = (
+            transcribe_fn
+            if transcribe_fn is not None
+            else transcriber.transcribe
+        )
         self.sample_rate = sample_rate
         self.segment_seconds = float(segment_seconds)
         self.lookahead_seconds = float(lookahead_seconds)
@@ -113,6 +123,10 @@ class StreamingSession:
         }
 
     # ------------------------------------------------------------------
+
+    @property
+    def closed(self) -> bool:
+        return self._closed
 
     def feed(self, samples: np.ndarray) -> List[Event]:
         """Buffer a block; decode and return newly finalized events when at
@@ -164,7 +178,7 @@ class StreamingSession:
             return []
         base_s = self._buf_start / sr
         end_s = self._n_fed / sr
-        events = self.transcriber.transcribe(audio, sr, **self.decode_params)
+        events = self._transcribe_fn(audio, sr, **self.decode_params)
         self.stats["flushes"] += 1
         self.stats["decoded_audio_s"] += len(audio) / sr
         self._flushed_upto = self._n_fed

@@ -194,3 +194,104 @@ def test_cli_parser_smoke():
 
     ns = serve_cli.build_parser().parse_args(["--port", "0", "--max-batch", "2"])
     assert ns.port == 0 and ns.max_batch == 2 and ns.pcm_transport == "auto"
+
+
+def _melody_pcm(midis, note_s=0.45, gap_s=0.4):
+    sr = constants.AUDIO_SAMPLE_RATE
+    parts = [np.zeros(sr // 2, np.float32)]
+    for m in midis:
+        t = np.arange(int(note_s * sr)) / sr
+        env = np.minimum(1.0, t / 0.02) * np.exp(-1.5 * t)
+        f0 = 440.0 * 2 ** ((m - 69) / 12)
+        y = sum(w * np.sin(2 * np.pi * f0 * h * t)
+                for h, w in ((1, 1.0), (2, 0.5), (3, 0.25)))
+        parts.append((0.35 * env * y).astype(np.float32))
+        parts.append(np.zeros(int(gap_s * sr), np.float32))
+    parts.append(np.zeros(sr, np.float32))
+    audio = np.concatenate(parts)
+    return np.clip(np.round(audio * 32768.0), -32768, 32767).astype(np.int16)
+
+
+def _dechunk(body: bytes) -> bytes:
+    out = b""
+    pos = 0
+    while True:
+        eol = body.index(b"\r\n", pos)
+        size = int(body[pos:eol].split(b";")[0], 16)
+        if size == 0:
+            return out
+        out += body[eol + 2 : eol + 2 + size]
+        pos = eol + 2 + size + 2
+
+
+def test_stream_route_full_duplex(server):
+    """POST /v1/stream with a chunked PCM body: NDJSON events must come
+    back WHILE the request body is still open (true streaming), and the
+    complete event set must match the offline transcribe of the same PCM."""
+    import socket
+
+    base, service = server
+    host, port = base[len("http://"):].rsplit(":", 1)
+    pcm = _melody_pcm([60, 64, 67, 72, 76, 72, 67, 64])
+    offline = service.transcriber.transcribe(pcm, constants.AUDIO_SAMPLE_RATE)
+    assert len(offline) >= 6
+
+    sock = socket.create_connection((host, int(port)), timeout=180)
+    try:
+        sock.sendall(
+            b"POST /v1/stream?segment_seconds=1.0&lookahead_seconds=0.5 HTTP/1.1\r\n"
+            b"Host: t\r\nTransfer-Encoding: chunked\r\n"
+            b"Content-Type: application/octet-stream\r\n\r\n"
+        )
+        raw = pcm.tobytes()
+        step = len(raw) // 7 + 1
+        for i in range(0, len(raw), step):
+            piece = raw[i : i + step]
+            sock.sendall(f"{len(piece):x}\r\n".encode() + piece + b"\r\n")
+        # body NOT terminated yet: early events must already be coming back
+        sock.settimeout(120)
+        got = b""
+        while b"pitch_midi" not in got:
+            data = sock.recv(65536)
+            assert data, "server closed before emitting any event"
+            got += data
+        # now finish the request and drain the response
+        sock.sendall(b"0\r\n\r\n")
+        while b"\r\n0\r\n\r\n" not in got:
+            data = sock.recv(65536)
+            if not data:
+                break
+            got += data
+    finally:
+        sock.close()
+
+    header, _, body = got.partition(b"\r\n\r\n")
+    assert b"200" in header.splitlines()[0]
+    assert b"application/x-ndjson" in header
+    lines = _dechunk(body).decode().splitlines()
+    events = [json.loads(line) for line in lines if line]
+    assert all("error" not in e for e in events)
+    assert len(events) == len(offline)
+    for got_ev, want in zip(
+        sorted((e["start_time_s"], e["end_time_s"], e["pitch_midi"]) for e in events),
+        sorted((s, e, p) for s, e, p, *_ in offline),
+    ):
+        assert got_ev[2] == want[2]
+        assert abs(got_ev[0] - want[0]) <= 0.05
+        assert abs(got_ev[1] - want[1]) <= 0.05
+
+    metrics = service.snapshot_metrics()
+    assert metrics["streams"] >= 1
+    assert metrics["stream_flushes"] >= 2
+
+
+def test_stream_route_bad_params(server):
+    import urllib.error
+    import urllib.request
+
+    base, _ = server
+    req = urllib.request.Request(base + "/v1/stream?pcm_format=mp3", data=b"xx")
+    with pytest.raises(urllib.error.HTTPError) as err:
+        urllib.request.urlopen(req, timeout=30)
+    assert err.value.code == 400
+    assert "pcm_format" in json.loads(err.value.read())["error"]
