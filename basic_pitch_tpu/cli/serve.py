@@ -45,7 +45,36 @@ def build_parser() -> argparse.ArgumentParser:
         "--max-wait-ms", type=float, default=25.0,
         help="how long the first request in a batch waits for company",
     )
+    parser.add_argument(
+        "--warmup", default="30",
+        help="comma-separated clip lengths (seconds) to transcribe at boot so "
+        "their executables exist before the first caller (novel shape "
+        "buckets otherwise pay a one-time compile); '' disables",
+    )
     return parser
+
+
+def _warm(transcriber, lengths_csv: str) -> None:
+    import time
+
+    import numpy as np
+
+    from basic_pitch_tpu import constants
+
+    sr = constants.AUDIO_SAMPLE_RATE
+    for field in lengths_csv.split(","):
+        field = field.strip()
+        if not field:
+            continue
+        seconds = float(field)
+        t = np.arange(int(seconds * sr)) / sr
+        # repeating plucked tones: cheap to synthesize, dense enough in
+        # notes to exercise realistic decode/fetch capacity buckets
+        y = 0.3 * np.sin(2 * np.pi * 220.0 * t) * np.exp(-2.0 * (t % 0.5))
+        pcm = np.clip(np.round(y * 32768.0), -32768, 32767).astype(np.int16)
+        t0 = time.time()
+        transcriber.transcribe(pcm, sr)
+        logging.info("warmed %.0fs shapes in %.1fs", seconds, time.time() - t0)
 
 
 def main(args=None) -> None:
@@ -60,6 +89,8 @@ def main(args=None) -> None:
         decode_backend=ns.decode_backend,
         pcm_transport=ns.pcm_transport,
     )
+    if ns.warmup:
+        _warm(transcriber, ns.warmup)
     service = serve.TranscriptionService(
         transcriber, max_batch=ns.max_batch, max_wait_ms=ns.max_wait_ms
     )

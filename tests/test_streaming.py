@@ -196,3 +196,33 @@ def test_stream_cli_ndjson_matches_offline(transcriber, capsys):
     err = capsys.readouterr().err
     assert "stream done" in err
     assert "trailing byte" not in err
+
+
+def test_streaming_at_44k(transcriber):
+    """44.1 kHz sessions decimate on device like offline transcribe; the
+    window-hop alignment doubles with the rate."""
+    sr2 = 2 * SR
+    t = np.arange(int(0.45 * sr2)) / sr2
+    env = np.minimum(1.0, t / 0.02) * np.exp(-1.5 * t)
+
+    def tone2(m):
+        f0 = 440.0 * 2 ** ((m - 69) / 12)
+        y = sum(w * np.sin(2 * np.pi * f0 * h * t)
+                for h, w in ((1, 1.0), (2, 0.5), (3, 0.25)))
+        return (0.35 * env * y).astype(np.float32)
+
+    parts = [np.zeros(sr2 // 2, np.float32)]
+    for m in (60, 67, 72):
+        parts += [tone2(m), np.zeros(int(0.4 * sr2), np.float32)]
+    parts.append(np.zeros(sr2, np.float32))
+    audio = np.concatenate(parts)
+
+    offline = transcriber.transcribe(audio, sr2)
+    assert len(offline) >= 2
+    session = StreamingSession(transcriber, sample_rate=sr2)
+    live = []
+    block = int(0.25 * sr2)
+    for i in range(0, len(audio), block):
+        live.extend(session.feed(audio[i : i + block]))
+    tail = session.close()
+    assert_same_events(live + tail, offline)
