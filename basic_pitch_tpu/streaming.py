@@ -29,8 +29,11 @@ inferred-onset rescaling, and melodia iteration see the sliding window,
 not the whole recording — identical to offline output whenever the window
 covers the surrounding material (tests pin this on gapped melodies), and
 documented to differ on material whose global statistics matter. Notes
-longer than ``max_context_seconds`` are finalized with their onset
-clamped to the window edge.
+longer than ``max_context_seconds`` survive the window sliding past their
+onset: the pending-note key is clamped to the trim cut so the re-decoded
+window-edge onset still matches, and the event is emitted with the onset
+recorded when the note was first observed (its end, amplitude, and bends
+come from the final decode, which saw only the tail).
 """
 
 from __future__ import annotations
@@ -44,6 +47,10 @@ from basic_pitch_tpu import constants
 Event = Tuple[float, float, int, float, Optional[list]]
 
 _TRIM_GUARD_S = 0.5  # context kept behind the oldest pending onset
+# a pending note whose onset was trimmed out re-decodes with its onset at
+# the window edge, registered a frame or two in (measured ~0.023 s); the
+# clamped key accepts onsets up to this far past the cut
+_CLAMP_MATCH_S = 0.25
 
 
 class StreamingSession:
@@ -115,7 +122,11 @@ class StreamingSession:
         # pending note, or they are window-edge artifacts and are dropped
         self._finalized_s = 0.0
         self._emitted_keys: List[Tuple[float, int]] = []  # (onset_s, pitch)
-        self._pending_keys: List[Tuple[float, int]] = []
+        # un-ended notes: [match_onset_s, pitch, original_onset_s, clamped];
+        # match_onset tracks where the note appears in the CURRENT window
+        # (clamped to the cut when trimming slides past its onset), while
+        # original_onset is what finally gets emitted
+        self._pending_keys: List[List] = []
         self.stats: Dict[str, float] = {
             "flushes": 0,
             "decoded_audio_s": 0.0,
@@ -186,26 +197,42 @@ class StreamingSession:
         emit_before = end_s if final else max(end_s - self.lookahead_seconds, 0.0)
         tol = self.dedup_tolerance_s
         out: List[Event] = []
-        new_pending: List[Tuple[float, int]] = []
+        new_pending: List[List] = []
 
-        def matches(keys, onset, pitch):
-            return any(p == pitch and abs(k - onset) <= tol for k, p in keys)
+        def matches_emitted(onset, pitch):
+            return any(
+                p == pitch and abs(k - onset) <= tol for k, p in self._emitted_keys
+            )
+
+        def find_pending(onset, pitch):
+            for rec in self._pending_keys:
+                match_onset, p, _orig, clamped = rec
+                if p != pitch:
+                    continue
+                if abs(onset - match_onset) <= tol or (
+                    clamped and -tol <= onset - match_onset <= _CLAMP_MATCH_S
+                ):
+                    return rec
+            return None
 
         for start, end, pitch, amplitude, bends in events:
             onset, offset = start + base_s, end + base_s
-            if matches(self._emitted_keys, onset, pitch):
+            if matches_emitted(onset, pitch):
                 continue  # already final in an earlier flush
-            if onset < self._finalized_s - tol and not matches(
-                self._pending_keys, onset, pitch
-            ):
+            pending = find_pending(onset, pitch)
+            if pending is None and onset < self._finalized_s - tol:
                 # starts inside the already-finalized region yet never seen
                 # before: a window-edge artifact of the sliding re-decode
                 continue
+            # a note first seen before trimming slid past its onset keeps
+            # that original onset; its end/amplitude/bends come from the
+            # final decode (which saw only the tail)
+            orig_onset = pending[2] if pending is not None else onset
             if offset <= emit_before:
-                out.append((onset, offset, pitch, amplitude, bends))
+                out.append((orig_onset, offset, pitch, amplitude, bends))
                 self._emitted_keys.append((onset, pitch))
             else:
-                new_pending.append((onset, pitch))
+                new_pending.append([onset, pitch, orig_onset, False])
 
         self._pending_keys = new_pending
         self._finalized_s = max(self._finalized_s, emit_before)
@@ -222,7 +249,9 @@ class StreamingSession:
         times from later decodes stay comparable to earlier ones."""
         keep_from_s = self._finalized_s
         if self._pending_keys:
-            keep_from_s = min(keep_from_s, min(k for k, _ in self._pending_keys))
+            keep_from_s = min(
+                keep_from_s, min(rec[0] for rec in self._pending_keys)
+            )
         keep_from_s -= _TRIM_GUARD_S
         keep_from_s = max(keep_from_s, end_s - self.max_context_seconds, 0.0)
         cut = int(keep_from_s * self.sample_rate)
@@ -233,6 +262,14 @@ class StreamingSession:
         audio = self._buf[0]
         self._buf = [audio[drop:]]
         self._buf_start = cut
+        # pending notes whose onset just slid out of the window re-decode
+        # with their onset AT the window edge: clamp the match key to the
+        # cut so the next flush still recognizes them (max_context cap)
+        cut_s = cut / self.sample_rate
+        for rec in self._pending_keys:
+            if rec[0] < cut_s:
+                rec[0] = cut_s
+                rec[3] = True
         # emitted keys older than the window can never collide again
         floor = self._buf_start / self.sample_rate - 1.0
         if len(self._emitted_keys) > 256:

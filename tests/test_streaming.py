@@ -123,6 +123,39 @@ def test_long_note_carries_across_flushes(transcriber):
     assert lows[0][1] - lows[0][0] > 1.5  # the note kept its length
 
 
+def test_note_longer_than_max_context(transcriber):
+    """A note that outlives max_context_seconds must survive the window
+    sliding past its onset: emitted ONCE, with the onset recorded when it
+    was first observed (regression: clamped pending keys — before the fix
+    the re-decoded window-edge onset failed to match the stale pending key
+    and the note was dropped as an edge artifact)."""
+    t = np.arange(int(9.0 * SR)) / SR
+    sustained = (
+        0.4
+        * np.minimum(1.0, t / 0.02)
+        * np.exp(-0.05 * t)
+        * (
+            np.sin(2 * np.pi * 220.0 * t)
+            + 0.5 * np.sin(2 * np.pi * 440.0 * t)
+            + 0.25 * np.sin(2 * np.pi * 660.0 * t)
+        )
+    ).astype(np.float32)
+    audio = np.concatenate(
+        [np.zeros(int(0.5 * SR), np.float32), sustained, np.zeros(int(1.0 * SR), np.float32)]
+    )
+    offline = transcriber.transcribe(audio, SR)
+    assert len(offline) == 1 and offline[0][1] - offline[0][0] > 8.0
+
+    session = StreamingSession(transcriber, max_context_seconds=5.0)
+    live, tail = stream_all(session, audio, block_s=0.25)
+    events = live + tail
+    assert len(events) == 1, events
+    onset, offset, pitch, *_ = events[0]
+    assert pitch == offline[0][2]
+    assert abs(onset - offline[0][0]) <= 0.05  # original onset preserved
+    assert abs(offset - offline[0][1]) <= 0.1
+
+
 def test_int16_feeds(transcriber):
     audio = melody([65, 69, 72])
     pcm = np.clip(np.round(audio * 32768.0), -32768, 32767).astype(np.int16)
