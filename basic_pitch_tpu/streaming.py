@@ -38,6 +38,7 @@ come from the final decode, which saw only the tail).
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -51,6 +52,29 @@ _TRIM_GUARD_S = 0.5  # context kept behind the oldest pending onset
 # the window edge, registered a frame or two in (measured ~0.023 s); the
 # clamped key accepts onsets up to this far past the cut
 _CLAMP_MATCH_S = 0.25
+# flushes an un-matched pending note survives before being dropped: one
+# flush of grace so a momentary amplitude dip at the window edge (the
+# decode briefly not reporting the note) doesn't lose the whole note —
+# next flush it re-matches its carried record instead of being discarded
+# as an onset-before-the-finalized-horizon artifact
+_PENDING_GRACE_FLUSHES = 1
+
+
+@dataclasses.dataclass
+class _PendingNote:
+    """An un-ended note carried across flushes.
+
+    ``match_onset_s`` is where the note appears in the CURRENT window
+    (clamped to the trim cut when the window slid past its onset);
+    ``orig_onset_s`` is what finally gets emitted. ``misses`` counts
+    consecutive flushes whose decode did not report the note.
+    """
+
+    match_onset_s: float
+    pitch: int
+    orig_onset_s: float
+    clamped: bool = False
+    misses: int = 0
 
 
 class StreamingSession:
@@ -122,15 +146,15 @@ class StreamingSession:
         # pending note, or they are window-edge artifacts and are dropped
         self._finalized_s = 0.0
         self._emitted_keys: List[Tuple[float, int]] = []  # (onset_s, pitch)
-        # un-ended notes: [match_onset_s, pitch, original_onset_s, clamped];
-        # match_onset tracks where the note appears in the CURRENT window
-        # (clamped to the cut when trimming slides past its onset), while
-        # original_onset is what finally gets emitted
-        self._pending_keys: List[List] = []
+        self._pending: List[_PendingNote] = []  # un-ended notes (see _PendingNote)
         self.stats: Dict[str, float] = {
             "flushes": 0,
             "decoded_audio_s": 0.0,
             "events": 0,
+            # pending notes dropped because no decode reported them for
+            # _PENDING_GRACE_FLUSHES+1 consecutive flushes — nonzero means
+            # note tails were lost at a window edge (observable failure)
+            "pending_dropped": 0,
         }
 
     # ------------------------------------------------------------------
@@ -197,29 +221,43 @@ class StreamingSession:
         emit_before = end_s if final else max(end_s - self.lookahead_seconds, 0.0)
         tol = self.dedup_tolerance_s
         out: List[Event] = []
-        new_pending: List[List] = []
+        new_pending: List[_PendingNote] = []
+        unmatched = list(self._pending)  # records not yet claimed this flush
 
         def matches_emitted(onset, pitch):
             return any(
                 p == pitch and abs(k - onset) <= tol for k, p in self._emitted_keys
             )
 
-        def find_pending(onset, pitch):
-            for rec in self._pending_keys:
-                match_onset, p, _orig, clamped = rec
-                if p != pitch:
-                    continue
-                if abs(onset - match_onset) <= tol or (
-                    clamped and -tol <= onset - match_onset <= _CLAMP_MATCH_S
-                ):
-                    return rec
-            return None
+        def take_pending(onset, pitch) -> Optional[_PendingNote]:
+            """Claim the matching pending record, consuming it: each record
+            feeds at most one event per flush (a split decode or a new
+            same-pitch onset near the cut must not all inherit the same
+            orig_onset). Among candidates the earliest original onset wins —
+            that's the true continuation; later ones are new notes."""
+            candidates = [
+                rec
+                for rec in unmatched
+                if rec.pitch == pitch
+                and (
+                    abs(onset - rec.match_onset_s) <= tol
+                    or (
+                        rec.clamped
+                        and -tol <= onset - rec.match_onset_s <= _CLAMP_MATCH_S
+                    )
+                )
+            ]
+            if not candidates:
+                return None
+            best = min(candidates, key=lambda rec: rec.orig_onset_s)
+            unmatched.remove(best)
+            return best
 
         for start, end, pitch, amplitude, bends in events:
             onset, offset = start + base_s, end + base_s
             if matches_emitted(onset, pitch):
                 continue  # already final in an earlier flush
-            pending = find_pending(onset, pitch)
+            pending = take_pending(onset, pitch)
             if pending is None and onset < self._finalized_s - tol:
                 # starts inside the already-finalized region yet never seen
                 # before: a window-edge artifact of the sliding re-decode
@@ -227,14 +265,28 @@ class StreamingSession:
             # a note first seen before trimming slid past its onset keeps
             # that original onset; its end/amplitude/bends come from the
             # final decode (which saw only the tail)
-            orig_onset = pending[2] if pending is not None else onset
+            orig_onset = pending.orig_onset_s if pending is not None else onset
             if offset <= emit_before:
                 out.append((orig_onset, offset, pitch, amplitude, bends))
                 self._emitted_keys.append((onset, pitch))
             else:
-                new_pending.append([onset, pitch, orig_onset, False])
+                new_pending.append(
+                    _PendingNote(onset, pitch, orig_onset, clamped=False)
+                )
 
-        self._pending_keys = new_pending
+        # pending notes no event claimed: the decode momentarily failed to
+        # report them (e.g. an amplitude dip at the window edge). Carry them
+        # for a grace flush so the note isn't silently lost; after that,
+        # drop and count — the failure stays observable in self.stats.
+        if not final:
+            for rec in unmatched:
+                if rec.misses < _PENDING_GRACE_FLUSHES:
+                    rec.misses += 1
+                    new_pending.append(rec)
+                else:
+                    self.stats["pending_dropped"] += 1
+
+        self._pending = new_pending
         self._finalized_s = max(self._finalized_s, emit_before)
         self.stats["events"] += len(out)
         if not final:
@@ -248,9 +300,9 @@ class StreamingSession:
         at ``max_context_seconds``; the cut lands on the frame grid so event
         times from later decodes stay comparable to earlier ones."""
         keep_from_s = self._finalized_s
-        if self._pending_keys:
+        if self._pending:
             keep_from_s = min(
-                keep_from_s, min(rec[0] for rec in self._pending_keys)
+                keep_from_s, min(rec.match_onset_s for rec in self._pending)
             )
         keep_from_s -= _TRIM_GUARD_S
         keep_from_s = max(keep_from_s, end_s - self.max_context_seconds, 0.0)
@@ -266,10 +318,10 @@ class StreamingSession:
         # with their onset AT the window edge: clamp the match key to the
         # cut so the next flush still recognizes them (max_context cap)
         cut_s = cut / self.sample_rate
-        for rec in self._pending_keys:
-            if rec[0] < cut_s:
-                rec[0] = cut_s
-                rec[3] = True
+        for rec in self._pending:
+            if rec.match_onset_s < cut_s:
+                rec.match_onset_s = cut_s
+                rec.clamped = True
         # emitted keys older than the window can never collide again
         floor = self._buf_start / self.sample_rate - 1.0
         if len(self._emitted_keys) > 256:
