@@ -84,10 +84,12 @@ class StreamingTranscriber:
             posteriorgrams within 1e-4 of the float32 reference; DEFAULT
             (bf16 inputs) roughly doubles throughput at reduced fidelity.
         mesh: optional Mesh with a "data" axis to shard the window batch.
-        decode_backend: "xla" (default — the while-loop decoder, fastest on
-            this runtime), "pallas" (the VMEM-slab kernel — projected faster
-            on local-PCIe production parts), or "auto" (probe both once per
-            process at init and pick the measured winner; see decode/select.py).
+        decode_backend: "auto" (default — probe both decoders once per
+            process at init and pick the measured winner; see
+            decode/select.py and tools/decoder_bench.json, where Pallas
+            measured ~2x faster per note on TPU v5e), "xla" (the while-loop
+            decoder — always available, wins on the CPU backend), or
+            "pallas" (the VMEM-slab kernel, forced).
         pcm_transport: how int16 recordings cross the host->device link —
             "codec" (default: the lossless residual codec, fewer wire bytes;
             wins on slow links), "raw" (one device_put; wins on fast links
@@ -106,7 +108,7 @@ class StreamingTranscriber:
         windows_per_chunk: int = 128,
         precision=jax.lax.Precision.HIGHEST,
         mesh: Optional[jax.sharding.Mesh] = None,
-        decode_backend: str = "xla",
+        decode_backend: str = "auto",
         pcm_transport: str = "codec",
         transport_ttl_s: float = 120.0,
     ):

@@ -24,6 +24,11 @@ else
     echo "mypy not installed (pip install -e .[lint]); skipping"
 fi
 
+echo "== README perf table freshness =="
+python tools/update_readme_perf.py
+git diff --quiet -- README.md || {
+    echo "README.md perf table is stale — commit the regenerated table"; exit 1; }
+
 echo "== byte-compile gate (syntax across the tree) =="
 python -m compileall -q basic_pitch_tpu tests tools bench.py __graft_entry__.py
 
