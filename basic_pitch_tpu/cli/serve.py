@@ -46,6 +46,20 @@ def build_parser() -> argparse.ArgumentParser:
         help="how long the first request in a batch waits for company",
     )
     parser.add_argument(
+        "--max-queue", type=int, default=32,
+        help="bounded admission: pending requests beyond this are shed "
+        "with HTTP 503 + Retry-After instead of queueing unboundedly",
+    )
+    parser.add_argument(
+        "--request-timeout", type=float, default=None, metavar="SECONDS",
+        help="per-request deadline: callers waiting longer get HTTP 504 and "
+        "their request is dropped from later batches (default: no timeout)",
+    )
+    parser.add_argument(
+        "--max-body-mb", type=float, default=256.0,
+        help="largest accepted request body (413 beyond it)",
+    )
+    parser.add_argument(
         "--warmup", default="30",
         help="comma-separated clip lengths (seconds) to transcribe at boot so "
         "their executables exist before the first caller (novel shape "
@@ -92,9 +106,16 @@ def main(args=None) -> None:
     if ns.warmup:
         _warm(transcriber, ns.warmup)
     service = serve.TranscriptionService(
-        transcriber, max_batch=ns.max_batch, max_wait_ms=ns.max_wait_ms
+        transcriber,
+        max_batch=ns.max_batch,
+        max_wait_ms=ns.max_wait_ms,
+        max_queue=ns.max_queue,
+        request_timeout_s=ns.request_timeout,
     )
-    server = serve.make_server(service, ns.host, ns.port)
+    server = serve.make_server(
+        service, ns.host, ns.port,
+        max_body_bytes=int(ns.max_body_mb * (1 << 20)),
+    )
     host, port = server.server_address[:2]
     logging.info(
         "basic-pitch-serve on http://%s:%d (decode=%s transport=%s)",

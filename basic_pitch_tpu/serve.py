@@ -13,6 +13,14 @@ config 2). This module is that frontend:
   ``max_wait_ms``), groups share one `transcribe_batch` call per distinct
   decode-parameter set, and each caller blocks only on its own result.
   One service owns the transcriber; HTTP threads never touch jax.
+  Backpressure is first-class: admission is bounded by ``max_queue``
+  (beyond it requests are shed with HTTP 503 + Retry-After, counted in
+  ``/metrics`` as ``shed``), an optional ``request_timeout_s`` abandons
+  requests whose caller would wait longer (504, counted as ``timeouts``,
+  dropped from subsequent batches), request bodies are capped
+  (413 / in-band stream error), and ``close()`` drains queued requests
+  before stopping — so overload degrades by shedding, never by unbounded
+  latency growth (proved by tools/serve_bench.py's overload phase).
 - `TranscriptionHandler` / `make_server` — a stdlib ThreadingHTTPServer
   speaking a small JSON/MIDI API:
 
@@ -60,6 +68,24 @@ class RequestError(ValueError):
     """Client error (HTTP 400): bad body, bad params, undecodable audio."""
 
 
+class OverloadedError(RuntimeError):
+    """Server over capacity (HTTP 503): the dispatch queue is full.
+
+    Backpressure contract: the service admits at most ``max_queue`` pending
+    requests; beyond that it sheds load immediately instead of queueing
+    unboundedly (latency under overload stays bounded by
+    queue_depth / service_rate). Shed requests are counted in
+    ``/metrics`` as ``shed``."""
+
+
+class DeadlineExceeded(RuntimeError):
+    """Request exceeded the per-request timeout (HTTP 504).
+
+    The caller stops waiting; the dispatch thread drops the abandoned
+    request from its next batch (or completes it harmlessly if already
+    in flight). Counted in ``/metrics`` as ``timeouts``."""
+
+
 def decode_wav_request(raw: bytes) -> Tuple[np.ndarray, int]:
     """WAV bytes -> (mono samples, model-compatible sample rate).
 
@@ -105,7 +131,9 @@ _PARAM_DEFAULTS = {
 
 
 class _Pending:
-    __slots__ = ("samples", "sr", "params", "event", "result", "error", "kind")
+    __slots__ = (
+        "samples", "sr", "params", "event", "result", "error", "kind", "abandoned",
+    )
 
     def __init__(self, samples, sr, params, kind="request"):
         self.samples = samples
@@ -115,6 +143,7 @@ class _Pending:
         self.result = None
         self.error: Optional[Exception] = None
         self.kind = kind  # "request" | "stream_flush" (metrics accounting)
+        self.abandoned = False  # caller timed out; skip at dispatch
 
 
 class TranscriptionService:
@@ -128,11 +157,24 @@ class TranscriptionService:
     dispatches, which is where this pipeline's throughput lives.
     """
 
-    def __init__(self, transcriber, max_batch: int = 8, max_wait_ms: float = 25.0):
+    def __init__(
+        self,
+        transcriber,
+        max_batch: int = 8,
+        max_wait_ms: float = 25.0,
+        max_queue: int = 32,
+        request_timeout_s: Optional[float] = None,
+    ):
         self.transcriber = transcriber
         self.max_batch = max_batch
         self.max_wait_ms = max_wait_ms
-        self._queue: "queue.Queue[Optional[_Pending]]" = queue.Queue()
+        self.request_timeout_s = request_timeout_s
+        # bounded admission: beyond max_queue pending requests the service
+        # sheds (503) instead of queueing unboundedly — overload latency is
+        # bounded by queue_depth / service_rate, not by offered load
+        self._queue: "queue.Queue[Optional[_Pending]]" = queue.Queue(
+            maxsize=max(1, max_queue)
+        )
         self._metrics_lock = threading.Lock()
         self.metrics: Dict[str, float] = {
             "requests": 0,
@@ -143,6 +185,8 @@ class TranscriptionService:
             "notes": 0,
             "streams": 0,
             "stream_flushes": 0,
+            "shed": 0,
+            "timeouts": 0,
         }
         self._worker = threading.Thread(
             target=self._run, name="bp-serve-dispatch", daemon=True
@@ -150,9 +194,12 @@ class TranscriptionService:
         self._worker.start()
 
     def close(self) -> None:
+        """Graceful drain: stop admitting (`submit` raises), serve every
+        request already queued (FIFO order puts them ahead of the shutdown
+        sentinel), then stop the dispatch thread and the transcriber."""
         self._closed = True
         self._queue.put(None)
-        self._worker.join(timeout=10)
+        self._worker.join(timeout=30)
         closer = getattr(self.transcriber, "close", None)
         if closer is not None:
             closer()
@@ -165,8 +212,28 @@ class TranscriptionService:
         if getattr(self, "_closed", False):
             raise RuntimeError("TranscriptionService is closed")
         pending = _Pending(samples, sr, params, kind)
-        self._queue.put(pending)
-        pending.event.wait()
+        if kind == "stream_flush":
+            # flushes belong to an already-admitted stream (one in flight
+            # per connection thread), so they block instead of shedding —
+            # admission control for streams happens at stream start
+            self._queue.put(pending)
+        else:
+            try:
+                self._queue.put_nowait(pending)
+            except queue.Full:
+                with self._metrics_lock:
+                    self.metrics["shed"] += 1
+                raise OverloadedError(
+                    f"dispatch queue full ({self._queue.maxsize} pending); "
+                    "retry shortly"
+                ) from None
+        if not pending.event.wait(self.request_timeout_s):
+            pending.abandoned = True
+            with self._metrics_lock:
+                self.metrics["timeouts"] += 1
+            raise DeadlineExceeded(
+                f"request exceeded {self.request_timeout_s:.1f}s timeout"
+            )
         if pending.error is not None:
             raise pending.error
         return pending.result
@@ -204,6 +271,16 @@ class TranscriptionService:
                 self._dispatch_group(items)
 
     def _dispatch_group(self, items: List[_Pending]) -> None:
+        # drop requests whose caller already timed out (their event is set
+        # harmlessly; nobody reads the result) — under overload this keeps
+        # the chip working on requests someone is still waiting for
+        live = [it for it in items if not it.abandoned]
+        for item in items:
+            if item.abandoned:
+                item.event.set()
+        if not live:
+            return
+        items = live
         t0 = time.monotonic()
         params = items[0].params
         try:
@@ -254,6 +331,8 @@ class TranscriptionService:
             m = dict(self.metrics)
         busy = m["busy_seconds"]
         m["x_realtime_busy"] = round(m["audio_seconds"] / busy, 1) if busy else None
+        m["queue_depth"] = self._queue.qsize()
+        m["queue_capacity"] = self._queue.maxsize
         return m
 
 
@@ -366,6 +445,7 @@ class TranscriptionHandler(BaseHTTPRequestHandler):
         transfer-encoding when the client streams (ffmpeg | curl -T -),
         content-length read in slices otherwise. Total is capped."""
         total = 0
+        max_body = getattr(self.server, "max_body_bytes", MAX_BODY_BYTES)
         te = (self.headers.get("Transfer-Encoding") or "").lower()
         if "chunked" in te:
             while True:
@@ -379,15 +459,15 @@ class TranscriptionHandler(BaseHTTPRequestHandler):
                         if trailer in (b"\r\n", b"\n", b""):
                             return
                 total += size
-                if total > MAX_BODY_BYTES:
-                    raise RequestError(f"stream exceeds {MAX_BODY_BYTES} bytes")
+                if total > max_body:
+                    raise RequestError(f"stream exceeds {max_body} bytes")
                 data = self.rfile.read(size)
                 self.rfile.read(2)  # chunk-terminating CRLF
                 yield data
         else:
             remaining = int(self.headers.get("Content-Length", "0"))
-            if remaining > MAX_BODY_BYTES:
-                raise RequestError(f"body exceeds {MAX_BODY_BYTES} bytes")
+            if remaining > max_body:
+                raise RequestError(f"body exceeds {max_body} bytes")
             while remaining > 0:
                 data = self.rfile.read(min(64 * 1024, remaining))
                 if not data:
@@ -517,9 +597,15 @@ class TranscriptionHandler(BaseHTTPRequestHandler):
             self._send_json(404, {"error": f"no route {url.path!r}"})
             return
         try:
+            max_body = getattr(self.server, "max_body_bytes", MAX_BODY_BYTES)
             length = int(self.headers.get("Content-Length", "0"))
-            if length > MAX_BODY_BYTES:
-                raise RequestError(f"body exceeds {MAX_BODY_BYTES} bytes")
+            if length > max_body:
+                # body is left unread: drop the connection after replying
+                self.close_connection = True
+                self._send_json(
+                    413, {"error": f"body exceeds {max_body} bytes"}
+                )
+                return
             raw = self.rfile.read(length)
             query = parse_qs(url.query)
             params = _parse_params(query)
@@ -543,6 +629,17 @@ class TranscriptionHandler(BaseHTTPRequestHandler):
                 raise RequestError(f"unknown format {fmt!r} (json|csv|midi)")
         except RequestError as err:
             self._send_json(400, {"error": str(err)})
+        except OverloadedError as err:
+            # load shed: bounded queue is full — tell the client to back off
+            self.send_response(503)
+            body = json.dumps({"error": str(err)}).encode()
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.send_header("Retry-After", "1")
+            self.end_headers()
+            self.wfile.write(body)
+        except DeadlineExceeded as err:
+            self._send_json(504, {"error": str(err)})
         except Exception as err:  # noqa: BLE001 — server stays up
             import logging
 
@@ -551,9 +648,13 @@ class TranscriptionHandler(BaseHTTPRequestHandler):
 
 
 def make_server(
-    service: TranscriptionService, host: str = "127.0.0.1", port: int = 0
+    service: TranscriptionService,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    max_body_bytes: int = MAX_BODY_BYTES,
 ) -> ThreadingHTTPServer:
     """Bind (port 0 picks a free one); caller runs serve_forever()."""
     server = ThreadingHTTPServer((host, port), TranscriptionHandler)
     server.service = service
+    server.max_body_bytes = max_body_bytes
     return server

@@ -109,6 +109,44 @@ def pct(xs, q):
     return round(float(np.percentile(xs, q)), 3)
 
 
+def run_overload(base: str, clips: list[bytes], n_clients: int, requests_per_client: int):
+    """Offered load far beyond capacity: every client fires continuously;
+    responses must be 200 (served, bounded latency) or 503 (shed). Returns
+    success latencies + shed count — proving overload degrades by shedding,
+    not by unbounded queueing."""
+    import urllib.error
+
+    ok_latencies: list[float] = []
+    shed = 0
+    other_errors = 0
+    lock = threading.Lock()
+
+    def client(cid: int):
+        nonlocal shed, other_errors
+        for r in range(requests_per_client):
+            clip = clips[(cid + r) % len(clips)]
+            t0 = time.monotonic()
+            try:
+                post(base, "/v1/transcribe?format=json", clip)
+                with lock:
+                    ok_latencies.append(time.monotonic() - t0)
+            except urllib.error.HTTPError as err:
+                err.read()
+                with lock:
+                    if err.code == 503:
+                        shed += 1
+                    else:
+                        other_errors += 1
+
+    t0 = time.monotonic()
+    with ThreadPoolExecutor(max_workers=n_clients) as pool:
+        futures = [pool.submit(client, c) for c in range(n_clients)]
+        for f in futures:
+            f.result()
+    wall = time.monotonic() - t0
+    return wall, ok_latencies, shed, other_errors
+
+
 def run_live_stream(
     host: str,
     port: int,
@@ -388,6 +426,60 @@ def main() -> None:
         }
         print(f"[serve_bench] live streams: {live}")
 
+        # overload phase: a second service over the SAME (already-warm)
+        # transcriber with a deliberately small admission queue, hammered by
+        # far more clients than it admits. The backpressure contract under
+        # test: every response is 200 or 503, latency of served requests
+        # stays bounded by queue_depth x batch time (NOT by offered load),
+        # and the shed count is observable in /metrics. (The first service
+        # is left idle — two dispatch threads never run concurrently.)
+        overload_queue = 8
+        ov_service = serve.TranscriptionService(
+            transcriber,
+            max_batch=ns.max_batch,
+            max_wait_ms=ns.max_wait_ms,
+            max_queue=overload_queue,
+        )
+        ov_srv = serve.make_server(ov_service, "127.0.0.1", 0)
+        ov_thread = threading.Thread(target=ov_srv.serve_forever, daemon=True)
+        ov_thread.start()
+        ov_base = "http://{}:{}".format(*ov_srv.server_address[:2])
+        n_ov_clients = 4 * overload_queue  # offered >> admitted
+        ov_wall, ov_lat, ov_shed, ov_other = run_overload(
+            ov_base, clips, n_clients=n_ov_clients, requests_per_client=3
+        )
+        ov_metrics = get_json(ov_base, "/metrics")
+        ov_srv.shutdown()
+        ov_srv.server_close()
+        # stop the overload service's dispatch thread WITHOUT closing the
+        # shared transcriber (the outer finally closes it once)
+        ov_service._closed = True
+        ov_service._queue.put(None)
+        ov_service._worker.join(timeout=10)
+        overload = {
+            "queue_capacity": overload_queue,
+            "clients": n_ov_clients,
+            "offered": n_ov_clients * 3,
+            "served": len(ov_lat),
+            "shed_503": ov_shed,
+            "other_errors": ov_other,
+            "wall_s": round(ov_wall, 2),
+            "served_latency_p50_s": pct(ov_lat, 50) if ov_lat else None,
+            "served_latency_p95_s": pct(ov_lat, 95) if ov_lat else None,
+            "served_latency_max_s": pct(ov_lat, 100) if ov_lat else None,
+            "metrics_shed": ov_metrics["shed"],
+            "note": (
+                "offered load 4x queue capacity: excess is shed with 503 + "
+                "Retry-After; served-request latency stays bounded by "
+                "queue_depth x batch time, independent of offered load"
+            ),
+        }
+        print(f"[serve_bench] overload: {overload}")
+        if ov_shed == 0:
+            print("[serve_bench] WARNING: overload phase produced no shedding")
+        if ov_other:
+            raise SystemExit(f"overload phase saw {ov_other} non-503 errors")
+
         record = {
             "metric": "serving_throughput_audio_sec_per_s",
             "value": loaded["audio_sec_per_s"],
@@ -407,6 +499,7 @@ def main() -> None:
                     loaded["audio_sec_per_s"] / single["audio_sec_per_s"], 2
                 ),
                 "live_streams": live,
+                "overload": overload,
                 "server_metrics": get_json(base, "/metrics"),
             },
         }
