@@ -38,6 +38,24 @@ def add_default(parser: argparse.ArgumentParser, dataset_name: str) -> None:
     )
     parser.add_argument("--batch-size", default=5, type=int, help="Tracks per TFRecord shard batch.")
     parser.add_argument(
+        "--num-tasks",
+        type=int,
+        default=1,
+        help=(
+            "Cross-host partitioning: total number of build tasks. Each task "
+            "converts the disjoint subset of tracks whose stable hash lands on "
+            "its --task-index; N tasks on N hosts against a shared destination "
+            "are jointly complete (requires --timestamped false)."
+        ),
+    )
+    parser.add_argument(
+        "--task-index",
+        type=int,
+        default=0,
+        help="This task's index in [0, --num-tasks). Builds are resumable: "
+        "rerunning skips shards recorded in the per-task manifest.",
+    )
+    parser.add_argument(
         "--fetch",
         action="store_true",
         help=(

@@ -118,6 +118,8 @@ def main(args: argparse.Namespace) -> None:
         batch_size=args.batch_size,
         num_workers=args.num_workers,
         timestamped=args.timestamped == "true",
+        num_tasks=args.num_tasks,
+        task_index=args.task_index,
     )
 
 

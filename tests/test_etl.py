@@ -111,6 +111,123 @@ def test_pipeline_run_filters_and_writes(tmp_path):
     assert (out_dir / "index.csv").read_text().count("t-bad") == 0
 
 
+def _toy_tracks(n=20):
+    return [(f"track-{i:02d}", "train" if i % 3 else "validation") for i in range(n)]
+
+
+def _toy_to_examples(ids):
+    return [f"example-{i}".encode() for i in ids]
+
+
+def _read_all(out_dir, split):
+    records = []
+    for path in sorted((out_dir / "splits" / split).glob("*.tfrecord")):
+        records.extend(tfrecord.read_tfrecords(path))
+    return records
+
+
+def test_pipeline_tasks_are_disjoint_and_jointly_complete(tmp_path):
+    """The Dataflow analogue (ref data/pipeline.py:87-99): two tasks with
+    the same inputs and a shared destination produce disjoint shard sets
+    whose union is exactly the single-task build."""
+    input_data = _toy_tracks()
+
+    single = pipeline.run(
+        "toy", input_data, _toy_to_examples, lambda t: None,
+        str(tmp_path / "single"), batch_size=3, timestamped=False,
+    )
+    sharded_dest = str(tmp_path / "sharded")
+    outs = [
+        pipeline.run(
+            "toy", input_data, _toy_to_examples, lambda t: None,
+            sharded_dest, batch_size=3, timestamped=False,
+            num_tasks=2, task_index=task,
+        )
+        for task in range(2)
+    ]
+    assert outs[0] == outs[1]  # shared output directory
+    out_dir = outs[0]
+    assert pipeline.is_complete(out_dir, 2)
+    assert not pipeline.is_complete(out_dir, 3)
+
+    for split in ("train", "validation"):
+        want = sorted(_read_all(single, split))
+        got = sorted(_read_all(out_dir, split))
+        assert got == want  # jointly complete, no duplicates (disjoint)
+        # each task's shards are prefixed with its index and non-empty
+        t0 = list((out_dir / "splits" / split).glob("t000-*.tfrecord"))
+        t1 = list((out_dir / "splits" / split).glob("t001-*.tfrecord"))
+        assert t0 and t1
+    # the full index.csv is present regardless of which task wrote last
+    assert len((out_dir / "index.csv").read_text().splitlines()) == len(input_data)
+    # partition function is stable and total
+    ids = [t for t, _ in input_data]
+    assert {t for t in ids if pipeline.task_of(t, 2) == 0} | {
+        t for t in ids if pipeline.task_of(t, 2) == 1
+    } == set(ids)
+
+
+def test_pipeline_resume_skips_completed_shards(tmp_path):
+    """A killed build rerun with the same args re-converts only missing
+    shards: completed ones are skipped via the manifest, and the final
+    output equals an uninterrupted build's."""
+    input_data = _toy_tracks(12)
+    calls = []
+
+    def counting_to_examples(ids):
+        calls.append(list(ids))
+        return _toy_to_examples(ids)
+
+    class Boom(RuntimeError):
+        pass
+
+    def failing_to_examples(ids):
+        if len(calls) >= 2:  # die after two shards
+            raise Boom()
+        return counting_to_examples(ids)
+
+    dest = str(tmp_path / "resumable")
+    with pytest.raises(Boom):
+        pipeline.run(
+            "toy", input_data, failing_to_examples, lambda t: None,
+            dest, batch_size=3, timestamped=False,
+        )
+    done_before = len(calls)
+    assert done_before == 2
+    out_dir = pipeline.run(
+        "toy", input_data, counting_to_examples, lambda t: None,
+        dest, batch_size=3, timestamped=False,
+    )
+    # the two completed shards were not re-converted
+    resumed_calls = len(calls) - done_before
+    total_shards = sum(
+        -(-len([1 for t, s in input_data if s == split]) // 3)
+        for split in ("train", "validation")
+    )
+    assert resumed_calls == total_shards - done_before
+    assert pipeline.is_complete(out_dir, 1)
+
+    fresh = pipeline.run(
+        "toy", input_data, _toy_to_examples, lambda t: None,
+        str(tmp_path / "fresh"), batch_size=3, timestamped=False,
+    )
+    for split in ("train", "validation"):
+        assert sorted(_read_all(out_dir, split)) == sorted(_read_all(fresh, split))
+
+
+def test_pipeline_multitask_rejects_timestamped(tmp_path):
+    with pytest.raises(ValueError, match="timestamped"):
+        pipeline.run(
+            "toy", _toy_tracks(4), _toy_to_examples, lambda t: None,
+            str(tmp_path), num_tasks=2, task_index=0,
+        )
+    with pytest.raises(ValueError, match="out of range"):
+        pipeline.run(
+            "toy", _toy_tracks(4), _toy_to_examples, lambda t: None,
+            str(tmp_path), num_tasks=2, task_index=2, timestamped=False,
+        )
+
+
 # --- builders on synthetic corpora -------------------------------------------
 
 
