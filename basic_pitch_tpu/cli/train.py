@@ -42,8 +42,16 @@ def main(
     data_parallel: bool = True,
     trainable_cqt: bool = False,
     device_targets: bool = True,
+    coordinator: str = "",
+    num_processes: int = 1,
+    process_id: int = 0,
 ) -> None:
     """Build datasets, model, and callbacks, then run the fit loop."""
+    if num_processes > 1:
+        # must run before any jax call initializes the backend
+        from basic_pitch_tpu.parallel import distributed as dist
+
+        dist.initialize(coordinator or None, num_processes, process_id)
     import jax
 
     from basic_pitch_tpu.data import loader
@@ -70,6 +78,8 @@ def main(
         datasets_to_use,
         dataset_sampling_frequency,
         device_targets=device_targets,
+        num_shards=num_processes,
+        shard_index=process_id,
     )
 
     timestamp = datetime.now(timezone.utc).strftime("%Y%m%d-%H%M")
@@ -174,6 +184,13 @@ def console_entry_point() -> None:
                              "host->device bytes)")
     parser.add_argument("--no-data-parallel", dest="data_parallel", action="store_false",
                         help="disable sharding the batch across devices")
+    parser.add_argument("--coordinator", default="",
+                        help="multi-host: coordinator address host:port (jax.distributed); "
+                             "empty on managed clusters that self-configure")
+    parser.add_argument("--num-processes", type=int, default=1,
+                        help="multi-host: total number of training processes")
+    parser.add_argument("--process-id", type=int, default=0,
+                        help="multi-host: this process's id in [0, --num-processes)")
     args = parser.parse_args()
 
     datasets_flagged = [
@@ -207,6 +224,9 @@ def console_entry_point() -> None:
         args.data_parallel,
         args.trainable_cqt,
         args.device_targets,
+        args.coordinator,
+        args.num_processes,
+        args.process_id,
     )
 
 

@@ -43,9 +43,26 @@ N_SAMPLES_PER_TRACK = 20
 Batch = Dict[str, object]
 
 
-def _dataset_files(datasets_base_path: str, dataset_name: str, split: str) -> List[str]:
+def _dataset_files(
+    datasets_base_path: str,
+    dataset_name: str,
+    split: str,
+    num_shards: int = 1,
+    shard_index: int = 0,
+) -> List[str]:
+    """Shard files for one split; with num_shards > 1 keep only this
+    host's stable-hash partition (multi-host training: each process feeds
+    its own disjoint file subset — the loader-side half of the
+    `parallel/distributed.global_batch` contract)."""
     pattern = os.path.join(datasets_base_path, dataset_name, "splits", split, "*tfrecord")
-    return sorted(glob.glob(pattern))
+    files = sorted(glob.glob(pattern))
+    if num_shards > 1:
+        files = [
+            f
+            for f in files
+            if zlib.crc32(os.path.basename(f).encode()) % num_shards == shard_index
+        ]
+    return files
 
 
 def train_file_order(
@@ -157,20 +174,27 @@ def example_stream(
     n_samples_per_track: int = N_SAMPLES_PER_TRACK,
     pairs: bool = False,
     seed: Optional[int] = None,
+    num_shards: int = 1,
+    shard_index: int = 0,
 ) -> Iterator[Dict]:
-    """One pass over the split: every file once, windows per track."""
+    """One pass over the split: every file once, windows per track.
+
+    ``num_shards``/``shard_index`` restrict the pass to this host's file
+    partition (disjoint across indices, jointly complete)."""
     if split == "validation":
         pairs = False
         if n_samples_per_track != 1:
             n_samples_per_track = 5
 
     file_dict = {
-        name: _dataset_files(datasets_base_path, name, split) for name in datasets
+        name: _dataset_files(datasets_base_path, name, split, num_shards, shard_index)
+        for name in datasets
     }
     missing = [k for k, v in file_dict.items() if not v]
     if missing:
         raise FileNotFoundError(
             f"no tfrecords found for {missing} under {datasets_base_path}"
+            + (f" (shard {shard_index}/{num_shards})" if num_shards > 1 else "")
         )
     rng = random.Random(seed)
     nprng = np.random.RandomState(seed)
@@ -374,13 +398,31 @@ def prepare_datasets(
     pairs: bool = False,
     seed: Optional[int] = None,
     device_targets: bool = False,
+    num_shards: int = 1,
+    shard_index: int = 0,
 ) -> tuple:
     """(infinite train iterator, infinite cached validation iterator) —
     the reference's `prepare_datasets` contract (`:42-108`).
 
     device_targets=True ships sparse-COO targets + int16 audio for in-graph
-    rasterization (see `_collate_device`)."""
+    rasterization (see `_collate_device`).
+
+    Multi-host training: pass ``num_shards=jax.process_count()`` and
+    ``shard_index=jax.process_index()``; ``batch_size`` stays the GLOBAL
+    batch size — each host reads only its disjoint file partition and
+    yields batches of ``batch_size / num_shards`` items, which assemble
+    into the process-spanning global array via
+    `parallel/distributed.global_batch` (train_loop.fit does this).
+    Validation stays unsharded and host-global (identical cached batches
+    on every host) so the early-stop/LR-plateau decisions agree across
+    processes."""
     import itertools
+
+    if num_shards > 1 and batch_size % num_shards:
+        raise ValueError(
+            f"global batch {batch_size} does not divide across {num_shards} hosts"
+        )
+    train_batch_size = batch_size // num_shards if num_shards > 1 else batch_size
 
     def train_epochs() -> Iterator[Dict]:
         epoch = 0
@@ -392,6 +434,8 @@ def prepare_datasets(
                 dataset_sampling_frequency,
                 pairs=pairs,
                 seed=None if seed is None else seed + epoch,
+                num_shards=num_shards,
+                shard_index=shard_index,
             )
             epoch += 1
 
@@ -399,7 +443,7 @@ def prepare_datasets(
     train_stream: Iterator[Dict] = train_epochs()
     if training_shuffle_buffer_size > 0:
         train_stream = _shuffled(train_stream, training_shuffle_buffer_size, rng)
-    train_iter = _prefetch(_batched(train_stream, batch_size, device_targets))
+    train_iter = _prefetch(_batched(train_stream, train_batch_size, device_targets))
 
     # validation: materialize `validation_steps` batches once, cycle forever
     def val_batches():

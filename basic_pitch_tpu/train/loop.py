@@ -341,9 +341,25 @@ def fit(
 
     Callbacks are called as cb(epoch, params, train_metrics, val_metrics).
     Returns the best parameters.
+
+    Multi-host: with a process-spanning mesh (`parallel/distributed`),
+    ``train_iter`` must yield this host's LOCAL batch slice (see
+    `data/loader.prepare_datasets(num_shards=..., shard_index=...)`) and
+    ``val_iter`` identical host-global batches on every process; scheduler
+    decisions then agree everywhere, and only process 0 writes checkpoints
+    and logs.
     """
+    from basic_pitch_tpu.parallel import distributed as dist
+
+    multiproc = mesh is not None and dist.spans_processes(mesh)
+    is_main = not multiproc or jax.process_index() == 0
+    if multiproc:
+        raw_log = log
+        log = (lambda msg: raw_log(msg)) if is_main else (lambda msg: None)
+
     output_dir = pathlib.Path(output_dir)
-    (output_dir / "checkpoints").mkdir(parents=True, exist_ok=True)
+    if is_main:
+        (output_dir / "checkpoints").mkdir(parents=True, exist_ok=True)
     state_dir = output_dir / "train_state"
 
     params = init if init is not None else nmp.init_params(jax.random.PRNGKey(seed), model_config)
@@ -380,7 +396,10 @@ def fit(
             early_stop.wait = legacy_wait
         log(f"resumed from {state_dir} at epoch {start_epoch} (best_val={best_val:.4f})")
 
-    if mesh is not None:
+    if multiproc:
+        params = dist.replicate(mesh, jax.device_get(params))
+        opt_state = dist.replicate(mesh, jax.device_get(opt_state))
+    elif mesh is not None:
         params = mesh_lib.replicate(mesh, params)
         opt_state = mesh_lib.replicate(mesh, opt_state)
 
@@ -399,14 +418,18 @@ def fit(
         train_metrics = []
         for _ in range(config.steps_per_epoch):
             batch = next(train_iter)
-            if mesh is not None:
+            if multiproc:  # train batches arrive as this host's local slice
+                batch = dist.global_batch(mesh, batch)
+            elif mesh is not None:
                 batch = mesh_lib.shard_batch(mesh, batch)
             params, opt_state, metrics = train_step(params, opt_state, batch)
             train_metrics.append(metrics)
         val_metrics = []
         for _ in range(config.validation_steps):
             batch = next(val_iter)
-            if mesh is not None:
+            if multiproc:  # val batches are host-global and identical
+                batch = dist.global_batch(mesh, dist.local_slice(batch))
+            elif mesh is not None:
                 batch = mesh_lib.shard_batch(mesh, batch)
             val_metrics.append(eval_step(params, batch))
 
@@ -417,33 +440,44 @@ def fit(
             f"lr={lr:.2e} ({time.time() - t0:.1f}s)"
         )
 
-        params_io.save_params(output_dir / "checkpoints" / f"model.{epoch:02d}.npz", jax.device_get(params))
+        if is_main:
+            params_io.save_params(
+                output_dir / "checkpoints" / f"model.{epoch:02d}.npz", jax.device_get(params)
+            )
         if val_loss < best_val:
             best_val = val_loss
             best_params = jax.device_get(params)
-            params_io.save_params(output_dir / "model.best.npz", best_params)
+            if is_main:
+                params_io.save_params(output_dir / "model.best.npz", best_params)
 
         for cb in callbacks:
             cb(epoch, params, {"loss": train_loss}, {"loss": val_loss})
 
         lr, reduced = lr_plateau.step(val_loss, lr)
         if reduced:
-            opt_state.hyperparams["learning_rate"] = jnp.asarray(lr)
+            # val_loss is identical on every process, so the reduction fires
+            # everywhere in the same epoch; the new LR must be a
+            # process-spanning replicated array to re-enter the sharded step
+            new_lr = (
+                dist.replicate(mesh, np.float32(lr)) if multiproc else jnp.asarray(lr)
+            )
+            opt_state.hyperparams["learning_rate"] = new_lr
             log(f"  reducing learning rate to {lr:.2e}")
         stop = early_stop.step(val_loss)
 
-        save_train_state(
-            state_dir,
-            params,
-            opt_state,
-            {
-                "epoch": epoch,
-                "best_val": float(best_val),
-                "lr": float(lr),
-                "lr_plateau": lr_plateau.state(),
-                "early_stop": early_stop.state(),
-            },
-        )
+        if is_main:
+            save_train_state(
+                state_dir,
+                params,
+                opt_state,
+                {
+                    "epoch": epoch,
+                    "best_val": float(best_val),
+                    "lr": float(lr),
+                    "lr_plateau": lr_plateau.state(),
+                    "early_stop": early_stop.state(),
+                },
+            )
 
         if stop:
             log(f"  early stopping at epoch {epoch}")

@@ -124,3 +124,36 @@ def test_pairs_mixing(data_dir):
     items = [next(stream) for _ in range(12)]
     assert all(i["audio"].shape == (constants.AUDIO_N_SAMPLES,) for i in items)
     assert all(max(i["targets"]["note"].max(), 0) <= 1.0 for i in items)
+
+
+def test_loader_host_shards_are_disjoint_and_complete(tmp_path):
+    """Multi-host slicing: each host's file partition is disjoint, the union
+    is the full split, and prepare_datasets yields per-host batches of
+    global_batch / num_shards items."""
+    for name in ("setA",):
+        _write_dataset(tmp_path, name, "train", n_files=6)
+        _write_dataset(tmp_path, name, "validation", n_files=2)
+
+    full = loader._dataset_files(str(tmp_path), "setA", "train")
+    shard0 = loader._dataset_files(str(tmp_path), "setA", "train", num_shards=2, shard_index=0)
+    shard1 = loader._dataset_files(str(tmp_path), "setA", "train", num_shards=2, shard_index=1)
+    assert set(shard0).isdisjoint(shard1)
+    assert sorted(shard0 + shard1) == full
+    assert shard0 and shard1  # 6 files hash across both shards
+
+    train_iter, val_iter = loader.prepare_datasets(
+        str(tmp_path), 0, batch_size=4, validation_steps=1,
+        datasets_to_use=["setA"], dataset_sampling_frequency=[1.0],
+        seed=0, num_shards=2, shard_index=0,
+    )
+    batch = next(train_iter)
+    assert batch["audio"].shape[0] == 2  # local slice of the global batch 4
+    val_batch = next(val_iter)
+    assert val_batch["audio"].shape[0] == 4  # validation stays host-global
+
+    with pytest.raises(ValueError, match="divide"):
+        loader.prepare_datasets(
+            str(tmp_path), 0, batch_size=5, validation_steps=1,
+            datasets_to_use=["setA"], dataset_sampling_frequency=[1.0],
+            num_shards=2, shard_index=0,
+        )
