@@ -218,6 +218,23 @@ def _bucket(n: int) -> int:
     return b
 
 
+# Words-buffer length quantization: transfers of a NOVEL shape cost a
+# ~40-55 ms layout round trip on the tunneled runtime (measured,
+# tools/link_probe.py), and the exact packed length is content-dependent —
+# i.e. novel every piece. Rounding the length up so only its top 5 bits are
+# set makes the transfer shape recur (<=32 size classes per octave, <=3.1%
+# extra wire bytes at any size) — one layout cost per size class, then the
+# fast path.
+_WORDS_SIG_BITS = 5
+
+
+def _quantize_words(n: int) -> int:
+    if n <= (1 << _WORDS_SIG_BITS):
+        return max(n, 1)
+    quantum = 1 << (n.bit_length() - _WORDS_SIG_BITS)
+    return -(-n // quantum) * quantum
+
+
 def pack(pcm: np.ndarray, order: Optional[int] = None) -> PackedPCM:
     """int16 PCM -> PackedPCM (native packer when available, numpy otherwise).
 
@@ -262,6 +279,7 @@ def pack(pcm: np.ndarray, order: Optional[int] = None) -> PackedPCM:
             needed = max(needed, word_off + bucket * words_per_block(k, order))
         word_off += rows * words_per_block(k, order)
         row_off += rows
+    needed = _quantize_words(needed)
     if needed > len(words):
         words = np.concatenate([words, np.zeros(needed - len(words), np.uint32)])
     return PackedPCM(words[:needed], groups, heads, n, nb, order)

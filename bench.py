@@ -11,7 +11,10 @@ with pipelined uploads (BASELINE config 2). Prints one JSON line:
 
 Baseline: the reference publishes no throughput numbers (BASELINE.md); the
 driver-set target is 500x real-time per TPU v5e chip at note-F1 parity, so
-vs_baseline = value / 500. Note events produced here are identical to the
+vs_baseline = value / 500. The headline `value` is the MEDIAN of the timed
+rounds; per-stage attribution is device_get-forced (on this runtime
+block_until_ready does not await compute), and the model stage carries an
+analytic-FLOPs MFU figure (utils/flops.py). Note events produced here are identical to the
 reference decoder's output on the same posteriorgrams (see
 tests/test_device_decode.py); model posteriorgrams are within 1e-4 of the
 reference TF checkpoint (tests/test_model.py), so the measured pipeline is
@@ -72,16 +75,22 @@ def real_audio(seconds: float, sample_rate: int = 22050) -> np.ndarray:
 def measure_stages(transcriber, pcm: np.ndarray) -> dict:
     """Synchronously time each pipeline stage for one recording.
 
-    The production path overlaps these stages (everything is enqueued
-    async); this pass serializes them with block_until_ready so the cost of
-    each is attributable: upload (host->device link, incl. codec unpack),
-    model (window+CQT+heads+trim), decode (fused note decoder), fetch
-    (device->host of events). Returns seconds per stage.
+    The production path enqueues everything async; this pass serializes the
+    stages so the cost of each is attributable: upload (host->device link,
+    incl. codec unpack), model (window+CQT+heads+trim), decode (fused note
+    decoder), fetch (device->host of events). Each stage is forced with a
+    `device_get` of a tiny probe value — on this tunneled runtime
+    `block_until_ready` does NOT await enqueued computation (measured,
+    tools/link_probe.py), so only a host fetch of a result that depends on
+    the stage's output proves the device finished it. Returns seconds per
+    stage plus MFU for the model stage (utils/flops.py).
     """
     import jax
+    import jax.numpy as jnp
 
     from basic_pitch_tpu import pipeline
     from basic_pitch_tpu.ops import pcmcodec
+    from basic_pitch_tpu.utils import flops as flops_mod
 
     tr = transcriber
     pad_front = pipeline.OVERLAP // 2
@@ -92,6 +101,11 @@ def measure_stages(transcriber, pcm: np.ndarray) -> dict:
     pieces = list(tr._pieces(pcm, False, n_chunks))
     piece_fn = tr._piece_fn(False)
     use_codec = tr._codec_enabled(pcm.dtype)
+
+    # device-in-order execution: a probe program enqueued after a stage's
+    # programs depends on the last one, so fetching its (tiny) result forces
+    # the whole stage without fetching the stage's (large) outputs
+    probe_sum = jax.jit(lambda x: jnp.sum(x[-1]))
 
     t0 = time.time()
     dev_pieces = []
@@ -105,12 +119,14 @@ def measure_stages(transcriber, pcm: np.ndarray) -> dict:
                 continue
         upload_bytes += piece.nbytes
         dev_pieces.append(jax.device_put(piece))
-    jax.block_until_ready(dev_pieces)
+    # include the codec's device-side unpack in the upload stage (it is
+    # transport cost) by forcing the last piece's samples
+    jax.device_get(probe_sum(dev_pieces[-1]))
     t_upload = time.time() - t0
 
     t0 = time.time()
     outs = [piece_fn(tr.params, d) for d in dev_pieces]
-    jax.block_until_ready(outs)
+    jax.device_get(probe_sum(outs[-1]["note"]))
     t_model = time.time() - t0
 
     decode_keys = ("note", "onset", "bends")
@@ -122,17 +138,20 @@ def measure_stages(transcriber, pcm: np.ndarray) -> dict:
     decode = tr._decode_fused_fn(True, max_notes, True, True, bucket)
     t0 = time.time()
     decoded_dev, bends_inline, _ = decode(outs, n_frames, 0.5, 0.3, 11, None)
-    jax.block_until_ready((decoded_dev, bends_inline))
+    n_notes, _overflow = jax.device_get((decoded_dev.n_notes, decoded_dev.overflow))
     t_decode = time.time() - t0
 
-    # same two-round-trip shrunk fetch as _fetch_tickets: count first, then
-    # a pow2-bucketed slice of the real note slots
+    # the shrunk fetch of _fetch_tickets: a pow2-bucketed slice of the real
+    # note slots (the count round trip above already forced the decode)
     t0 = time.time()
-    n_notes, _overflow = jax.device_get((decoded_dev.n_notes, decoded_dev.overflow))
     out_cap = tr._shrink_bucket(int(n_notes), int(decoded_dev.starts.shape[0]))
     jax.device_get(tr._shrink_fn(True, out_cap)(decoded_dev, bends_inline))
     t_fetch = time.time() - t0
 
+    model_flops = n_chunks * tr.w * flops_mod.window_forward_flops()
+    mfu = flops_mod.mfu_report(
+        model_flops, t_model, jax.devices()[0].device_kind
+    )
     return {
         "upload_s": round(t_upload, 4),
         "model_s": round(t_model, 4),
@@ -140,6 +159,8 @@ def measure_stages(transcriber, pcm: np.ndarray) -> dict:
         "fetch_s": round(t_fetch, 4),
         "upload_bytes": upload_bytes,
         "n_chunks": n_chunks,
+        "model_gflops": round(model_flops / 1e9, 1),
+        **mfu,
     }
 
 
@@ -198,12 +219,15 @@ def main() -> None:
         f"(raw {transport_probe.get('raw_mib_s', '?')} MiB/s vs codec "
         f"{transport_probe.get('codec_mib_s', '?')} MiB/s effective)"
     )
-    # warmup: compile chunk + decode executables at ALL bench shapes
+    # warmup: compile chunk + decode executables at ALL bench shapes,
+    # including the batch path itself — round 1 of earlier benches ran ~4x
+    # slow because transcribe_batch's shrink buckets and the per-recording
+    # piece shapes compiled inside the first timed round (VERDICT r3 weak #2).
     # (retry once — a transient tunnel error here must not kill the bench)
     try:
-        transcriber.transcribe(recordings[0][0], 22050)
+        transcriber.transcribe_batch(recordings)
     except Exception:
-        transcriber.transcribe(recordings[0][0], 22050)
+        transcriber.transcribe_batch(recordings)
     note("warm: 10-min batch shapes")
     transcriber.transcribe(single_pcm, 22050)
     note("warm: 20-min shapes")
@@ -216,6 +240,12 @@ def main() -> None:
     batch_runs, single_runs, hour_runs, events = [], [], [], []
     failures = 0
     for round_i in range(7):
+        # re-measure the transport OUTSIDE the timed region (force=True takes
+        # the fresh winner): "auto" keeps tracking tunnel weather between
+        # rounds, but the probe's own transfers never ride inside a timed
+        # measurement (they contend for the same serial link — measured ~19x
+        # upload slowdown under concurrent activity, tools/link_probe.py)
+        transport_mod.probe(force=True)
         # a tunneled remote device occasionally drops a dispatch; one bad
         # round must not lose the whole measurement
         try:
@@ -264,14 +294,23 @@ def main() -> None:
             "spread": [round(r, 1) for r in sorted(runs)],
         }
 
-    best = max(batch_runs)
+    # headline = MEDIAN of the rounds (the defensible statistic under
+    # minute-scale tunnel-weather variance), not best-of-N (VERDICT r3)
+    headline = float(np.median(batch_runs))
+    # how much of the serialized stage sum the production path hides:
+    # 1 - wall/sum(stages); ~0 is expected — the link probe measured that
+    # this runtime's RPC model forbids upload/compute overlap (synchronous
+    # device_put, ~19x upload slowdown under in-flight compute)
+    serialized_x = single_seconds / serialized
+    median_single = float(np.median(single_runs))
+    overlap_efficiency = round(1.0 - serialized_x / max(median_single, 1e-9), 3)
     print(
         json.dumps(
             {
                 "metric": "end_to_end_transcription_throughput",
-                "value": round(best, 1),
+                "value": round(headline, 1),
                 "unit": "audio_sec_per_sec_per_chip",
-                "vs_baseline": round(best / 500.0, 3),
+                "vs_baseline": round(headline / 500.0, 3),
                 "detail": {
                     "n_files": n_files,
                     "audio_seconds": audio_seconds,
@@ -279,7 +318,7 @@ def main() -> None:
                     "aggregate": stats(batch_runs),
                     "single_stream_20min": stats(single_runs),
                     "single_stream_1hour": stats(hour_runs),
-                    "single_stream_x_realtime": round(max(single_runs), 1),
+                    "single_stream_x_realtime": round(median_single, 1),
                     "single_stream_file_s": single_seconds,
                     "stages": {
                         **stages,
@@ -288,9 +327,14 @@ def main() -> None:
                         "link_bound_fraction": round(
                             stages["upload_s"] / serialized, 3
                         ),
+                        "overlap_efficiency": overlap_efficiency,
                         "note": (
-                            "serialized per-stage pass on the 20-min stream; "
-                            "the production path overlaps these stages"
+                            "serialized, device_get-forced per-stage pass on "
+                            "the 20-min stream; overlap_efficiency is how much "
+                            "of this sum the production path hides (measured "
+                            "~0: the tunneled runtime's synchronous device_put "
+                            "+ serial link forbid upload/compute overlap — "
+                            "LINK_PROBE.json)"
                         ),
                     },
                     "decode_backend": transcriber.decode_backend,

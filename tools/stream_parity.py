@@ -1,0 +1,139 @@
+"""Quantify the streaming-vs-offline decode contract (STREAM_PARITY.json).
+
+`streaming.py` documents that segment-local decoding "differs on material
+whose global statistics matter" — dense continuous polyphony is the admitted
+worst case (the dB normalization, inferred-onset rescaling, and melodia
+iteration all see a sliding window instead of the whole recording). This
+harness measures that divergence instead of leaving the contract unbounded
+(VERDICT r3 weak #8): for each workload x (segment, lookahead, context)
+setting it runs the SAME audio through `StreamingTranscriber.transcribe`
+(offline oracle) and a `StreamingSession` fed in 250 ms blocks, then scores
+the streamed events against the offline events with the repo's bipartite
+note matcher (onset 50 ms + pitch criterion, and again with offsets).
+
+Run on the real chip:  python tools/stream_parity.py
+Writes STREAM_PARITY.json and prints it.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def tone(f0: float, n: int, sr: int = 22050, amp: float = 0.3) -> np.ndarray:
+    t = np.arange(n) / sr
+    env = np.minimum(1.0, np.minimum(t / 0.01, (t[-1] - t) / 0.05 + 1e-9))
+    y = np.zeros(n, np.float32)
+    for h in (1, 2, 3):
+        y += (0.5 ** (h - 1)) * np.sin(2 * np.pi * f0 * h * t)
+    return (amp * env * y).astype(np.float32)
+
+
+def dense_polyphony(seconds: float, sr: int = 22050, seed: int = 0) -> np.ndarray:
+    """Continuous overlapping chords: at every moment >=3 notes sound, no
+    gaps anywhere — the material whose global statistics a sliding window
+    cannot see. Chord tones hand off staggered so the texture never breaks."""
+    rng = np.random.RandomState(seed)
+    n = int(seconds * sr)
+    y = np.zeros(n, np.float32)
+    for voice in range(4):  # four voices, each a chain of abutting notes
+        pos = int(voice * 0.17 * sr)  # stagger voice boundaries
+        while pos < n:
+            dur = int((0.4 + rng.rand() * 1.2) * sr)
+            midi = rng.randint(40, 76)
+            f0 = 440.0 * 2 ** ((midi - 69) / 12)
+            seg = tone(f0, min(dur, n - pos), sr, amp=0.22)
+            y[pos : pos + len(seg)] += seg
+            pos += dur  # zero gap: next note starts the sample this one ends
+    peak = np.abs(y).max()
+    return y * (0.9 / peak) if peak > 0.9 else y
+
+
+def workloads(seconds: float) -> dict:
+    import bench
+
+    return {
+        "dense_polyphony": dense_polyphony(seconds),
+        "piano_mix": bench.synth_audio(seconds, seed=3),
+        "real_vocal_tiled": bench.real_audio(seconds),
+    }
+
+
+def run_setting(transcriber, audio: np.ndarray, seg: float, look: float, ctx: float):
+    from basic_pitch_tpu.streaming import StreamingSession
+    from basic_pitch_tpu.utils import eval as eval_utils
+
+    sr = 22050
+    offline = transcriber.transcribe(audio, sr)
+
+    session = StreamingSession(
+        transcriber,
+        sample_rate=sr,
+        segment_seconds=seg,
+        lookahead_seconds=look,
+        max_context_seconds=ctx,
+    )
+    streamed = []
+    block = int(0.25 * sr)
+    for lo in range(0, len(audio), block):
+        streamed.extend(session.feed(audio[lo : lo + block]))
+    streamed.extend(session.close())
+
+    ref = eval_utils.events_to_notes(offline)
+    est = eval_utils.events_to_notes(streamed)
+    onset_only = eval_utils.precision_recall_f1(ref, est)
+    with_offsets = eval_utils.precision_recall_f1(ref, est, offset_ratio=0.2)
+    return {
+        "f1_onset": round(onset_only["f1"], 4),
+        "f1_onset_offset": round(with_offsets["f1"], 4),
+        "offline_events": len(ref),
+        "streamed_events": len(est),
+        "matched": onset_only["n_matched"],
+        "pending_dropped": session.stats["pending_dropped"],
+        "flushes": session.stats["flushes"],
+    }
+
+
+def main() -> None:
+    from basic_pitch_tpu import pipeline
+
+    seconds = float(sys.argv[1]) if len(sys.argv) > 1 else 60.0
+    transcriber = pipeline.StreamingTranscriber(
+        windows_per_chunk=16, decode_backend="auto", pcm_transport="auto"
+    )
+    settings = [
+        {"segment_s": 2.0, "lookahead_s": 1.0, "context_s": 12.0},  # defaults
+        {"segment_s": 1.0, "lookahead_s": 0.5, "context_s": 8.0},  # low latency
+        {"segment_s": 4.0, "lookahead_s": 2.0, "context_s": 16.0},  # high context
+    ]
+    report = {
+        "audio_seconds_per_workload": seconds,
+        "criterion": "streamed events scored against offline decode of the same "
+        "audio; bipartite match, onset tol 50 ms + pitch (and offset_ratio 0.2)",
+        "workloads": {},
+    }
+    worst = 1.0
+    for name, audio in workloads(seconds).items():
+        rows = []
+        for s in settings:
+            r = run_setting(
+                transcriber, audio, s["segment_s"], s["lookahead_s"], s["context_s"]
+            )
+            rows.append({**s, **r})
+            worst = min(worst, r["f1_onset"])
+            print(f"{name} {s}: {r}", file=sys.stderr)
+        report["workloads"][name] = rows
+    report["worst_f1_onset"] = round(worst, 4)
+
+    with open("STREAM_PARITY.json", "w") as fh:
+        json.dump(report, fh, indent=1)
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
