@@ -71,6 +71,72 @@ def materialize_batch(batch: Batch) -> Batch:
     return out
 
 
+# ---------------------------------------------------------------------------
+# batch transport: the training analogue of the inference pipeline's measured
+# PCM transport (ops/transport.py). Through a slow tunnel the per-step batch
+# upload, not the fwd+bwd compute, bounds windows/s (TRAIN_BENCH r3: 118 ms
+# steps vs ~17 ms of step compute), so int16 batch audio rides the same
+# residual codec: `pack_batch_audio` runs on the producing (prefetch) thread,
+# `upload_batch` ships the result and counts the bytes that crossed the link.
+# ---------------------------------------------------------------------------
+
+
+def pack_batch_audio(batch: Batch, pcm_transport: str = "auto") -> Batch:
+    """Host-side: replace int16 batch audio with its packed form when the
+    measured transport picks the codec. Run this where the loader runs
+    (e.g. under `packed_batches`) so packing stays off the step loop."""
+    from basic_pitch_tpu.ops import pcmcodec, transport
+
+    audio = batch["audio"]
+    if (
+        isinstance(audio, np.ndarray)
+        and audio.dtype == np.int16
+        and pcm_transport != "raw"
+        and pcmcodec.available()
+        and (pcm_transport == "codec" or transport.resolve("auto") == "codec")
+    ):
+        packed = pcmcodec.pack(np.ascontiguousarray(audio).reshape(-1))
+        if packed.packed_bytes < audio.nbytes:
+            out = dict(batch)
+            out["audio_packed"] = (packed, audio.shape)
+            del out["audio"]
+            return out
+    return batch
+
+
+def packed_batches(batches: Iterator[Batch], pcm_transport: str = "auto") -> Iterator[Batch]:
+    """Wrap a batch iterator with prefetch-thread audio packing."""
+    from basic_pitch_tpu.data.loader import _prefetch
+
+    return _prefetch(
+        (pack_batch_audio(b, pcm_transport) for b in batches), depth=2
+    )
+
+
+def upload_batch(batch: Batch) -> Tuple[Batch, int]:
+    """Ship one loader batch to the device explicitly; returns the device
+    batch and the bytes that crossed the host->device link. Codec-packed
+    audio reconstructs in HBM as the exact dequantized float32 samples
+    (`materialize_batch` passes float32 audio through untouched)."""
+    from basic_pitch_tpu.ops import pcmcodec
+
+    if "audio_packed" in batch:
+        packed, shape = batch["audio_packed"]
+        rest = {k: v for k, v in batch.items() if k != "audio_packed"}
+        nbytes = packed.packed_bytes
+        audio_dev = pcmcodec.decode_to_device(
+            packed, int(np.prod(shape))
+        ).reshape(shape)
+    else:
+        rest = {k: v for k, v in batch.items() if k != "audio"}
+        nbytes = batch["audio"].nbytes
+        audio_dev = jax.device_put(batch["audio"])
+    nbytes += sum(leaf.nbytes for leaf in jax.tree_util.tree_leaves(rest))
+    dev = jax.device_put(rest)
+    dev["audio"] = audio_dev
+    return dev, nbytes
+
+
 @dataclasses.dataclass
 class TrainConfig:
     learning_rate: float = 1e-3
@@ -422,6 +488,10 @@ def fit(
                 batch = dist.global_batch(mesh, batch)
             elif mesh is not None:
                 batch = mesh_lib.shard_batch(mesh, batch)
+            elif "audio_packed" in batch:
+                # codec-packed audio from `packed_batches` (single-device
+                # transport): reconstruct in HBM before the jitted step
+                batch, _ = upload_batch(batch)
             params, opt_state, metrics = train_step(params, opt_state, batch)
             train_metrics.append(metrics)
         val_metrics = []

@@ -68,15 +68,16 @@ def build_corpus_and_shards(workdir: pathlib.Path, n_tracks: int, seconds: float
 
 def timed_training(shards, steps: int, batch_size: int, learning_rate: float,
                    warmup_steps: int = 10, shuffle: int = 100, sync_every: int = 50,
-                   device_targets: bool = False):
+                   device_targets: bool = False, pcm_transport: str = "auto"):
     """Train with the production loader + jitted step; time both sides.
 
     Steps are ENQUEUED asynchronously (dispatch pipelining — the production
-    loop's behavior) and the device is synced every ``sync_every`` steps, so
-    the amortized step time measures the chip + loader, not a per-step
-    host<->device round trip (which through a tunneled remote device costs
-    hundreds of ms and is not a property of the training stack). The
-    per-step fully-synchronous latency is recorded separately.
+    loop's behavior) and the loss is fetched every ``sync_every`` steps
+    (device_get — the only operation that truly awaits compute on this
+    runtime), so the amortized step time measures the chip + link + loader.
+    Batch audio rides the measured PCM transport: packed on the prefetch
+    thread, reconstructed in HBM (train_loop.packed_batches/upload_batch).
+    The per-step fully-synchronous latency is recorded separately.
     """
     import jax
 
@@ -88,6 +89,8 @@ def timed_training(shards, steps: int, batch_size: int, learning_rate: float,
         str(shards), shuffle, batch_size, 2, ["guitarset"], [1.0], seed=0,
         device_targets=device_targets,
     )
+    if device_targets:
+        train_iter = train_loop.packed_batches(train_iter, pcm_transport)
     config = train_loop.TrainConfig(learning_rate=learning_rate)
     optimizer = train_loop.make_optimizer(config)
     params = nmp.init_params(jax.random.PRNGKey(0))
@@ -97,6 +100,8 @@ def timed_training(shards, steps: int, batch_size: int, learning_rate: float,
     losses = []
     first_loss = None
     loader_block_s = 0.0
+    upload_s = 0.0
+    upload_bytes = 0
     sync_latency_ms = None
     steady_t0 = None
     steady_steps = 0
@@ -104,6 +109,10 @@ def timed_training(shards, steps: int, batch_size: int, learning_rate: float,
         t0 = time.time()
         batch = next(train_iter)
         t_loader = time.time() - t0
+
+        t0 = time.time()
+        batch, nbytes = train_loop.upload_batch(batch)
+        t_upload = time.time() - t0
 
         params, opt_state, metrics = step(params, opt_state, batch)
 
@@ -113,19 +122,22 @@ def timed_training(shards, steps: int, batch_size: int, learning_rate: float,
                 first_loss = loss
             losses.append(round(loss, 4))
         if i == warmup_steps:
-            # one full sync, then start the steady-state clock; also record
-            # the fully-synchronous single-step latency once
+            # one loss fetch (full sync), then start the steady-state clock;
+            # also record the fully-synchronous single-step latency once
             t0 = time.time()
-            jax.block_until_ready(params)
             params, opt_state, metrics = step(params, opt_state, batch)
-            jax.block_until_ready(metrics["loss"])
+            float(jax.device_get(metrics["loss"]))
             sync_latency_ms = (time.time() - t0) * 1e3
             steady_t0 = time.time()
             loader_block_s = 0.0
+            upload_s = 0.0
+            upload_bytes = 0
         elif steady_t0 is not None:
             loader_block_s += t_loader
+            upload_s += t_upload
+            upload_bytes += nbytes
             steady_steps += 1
-    jax.block_until_ready(params)
+    float(jax.device_get(metrics["loss"]))
     steady_wall = time.time() - steady_t0 if steady_t0 is not None else 0.0
 
     amortized_ms = steady_wall / max(steady_steps, 1) * 1e3
@@ -133,17 +145,93 @@ def timed_training(shards, steps: int, batch_size: int, learning_rate: float,
     stats = {
         "steps": steps,
         "batch_size": batch_size,
+        "learning_rate": learning_rate,
         "step_time_ms_amortized": round(amortized_ms, 2),
         "step_latency_ms_synchronous": round(sync_latency_ms or 0.0, 2),
         "windows_per_s": round(batch_size / (amortized_ms / 1e3), 1),
         "audio_sec_per_s": round(batch_size * 2.0 / (amortized_ms / 1e3), 1),
         "loader_block_ms_per_step": round(loader_block_s / max(steady_steps, 1) * 1e3, 3),
         "loader_feed_margin": round(feed_margin, 4),
+        "upload_ms_per_step": round(upload_s / max(steady_steps, 1) * 1e3, 3),
+        "upload_bytes_per_step": int(upload_bytes / max(steady_steps, 1)),
         "first_loss": round(first_loss, 4),
         "final_loss": losses[-1],
         "loss_trajectory": losses,
     }
     return params, stats
+
+
+def step_anatomy(shards, batch_size: int, k: int = 16):
+    """Device-time attribution of one train step (VERDICT r3 #4).
+
+    With ONE batch resident in HBM (no upload in the timed region), enqueue
+    k chained steps and force completion with a device_get of the last loss
+    — on this runtime that is the only way to measure device time
+    (LINK_PROBE.json: block_until_ready does not await compute). Forward
+    cost comes from the eval step the same way. Returns per-step forward ms,
+    fwd+bwd ms, their ratio, and train-step MFU from analytic FLOPs.
+    """
+    import jax
+
+    from basic_pitch_tpu.data import loader
+    from basic_pitch_tpu.models import nmp
+    from basic_pitch_tpu.train import loop as train_loop
+    from basic_pitch_tpu.utils import flops as flops_mod
+
+    train_iter, _ = loader.prepare_datasets(
+        str(shards), 0, batch_size, 2, ["guitarset"], [1.0], seed=0,
+        device_targets=True,
+    )
+    batch, _ = train_loop.upload_batch(next(train_iter))
+    config = train_loop.TrainConfig()
+    optimizer = train_loop.make_optimizer(config)
+    params = nmp.init_params(jax.random.PRNGKey(0))
+    opt_state = optimizer.init(params)
+    # non-donating variants: the anatomy loop reuses its inputs
+    step = train_loop.build_train_step(optimizer, config)
+    eval_step = train_loop.build_eval_step(config)
+
+    # warm both executables
+    p, o, m = step(params, opt_state, batch)
+    float(jax.device_get(m["loss"]))
+    float(jax.device_get(eval_step(p, batch)["loss"]))
+
+    def timed(fn):
+        t0 = time.time()
+        fn()
+        return (time.time() - t0) * 1e3
+
+    def run_train():
+        nonlocal p, o
+        for _ in range(k):
+            p, o, m = step(p, o, batch)
+        float(jax.device_get(m["loss"]))
+
+    def run_eval():
+        for _ in range(k):
+            m = eval_step(p, batch)
+        float(jax.device_get(m["loss"]))
+
+    fwd_ms = min(timed(run_eval) for _ in range(3)) / k
+    fwdbwd_ms = min(timed(run_train) for _ in range(3)) / k
+
+    train_flops = batch_size * flops_mod.train_step_flops_per_window()
+    mfu = flops_mod.mfu_report(
+        train_flops, fwdbwd_ms / 1e3, jax.devices()[0].device_kind
+    )
+    return {
+        "batch_size": batch_size,
+        "k_steps": k,
+        "fwd_ms": round(fwd_ms, 2),
+        "fwd_bwd_ms": round(fwdbwd_ms, 2),
+        "bwd_over_fwd": round(fwdbwd_ms / max(fwd_ms, 1e-9) - 1.0, 2),
+        "train_step_gflops": round(train_flops / 1e9, 1),
+        **mfu,
+        "note": (
+            "device-only step time, one HBM-resident batch, device_get-"
+            "forced over k chained steps"
+        ),
+    }
 
 
 def heldout_f1(corpus, shards, params):
@@ -195,9 +283,13 @@ def main(argv=None) -> dict:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--tracks", type=int, default=40)
     ap.add_argument("--seconds", type=float, default=30.0)
-    ap.add_argument("--steps", type=int, default=2000)
-    ap.add_argument("--batch-size", type=int, default=16)
-    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--steps", type=int, default=2000,
+                    help="batch-16-equivalent steps; a batch-B run does steps*16/B")
+    ap.add_argument("--batch-size", type=int, default=64,
+                    help="headline batch size (LR scales by sqrt(B/16) from --lr)")
+    ap.add_argument("--lr", type=float, default=1e-3, help="batch-16 learning rate")
+    ap.add_argument("--sweep", default="16,128",
+                    help="comma list of extra batch sizes for short sweep runs ('' skips)")
     ap.add_argument("--workdir", default=None, help="reuse a directory (default: temp)")
     ap.add_argument("--out", default=str(REPO_ROOT / "TRAIN_BENCH.json"))
     args = ap.parse_args(argv)
@@ -211,15 +303,49 @@ def main(argv=None) -> dict:
     corpus, shards, etl_stats = build_corpus_and_shards(workdir, args.tracks, args.seconds)
     print(f"corpus+ETL: {etl_stats}")
 
-    # headline: the device-rasterized batch path (sparse targets + int16
-    # audio, materialized in-graph) — the TPU-first transport; the dense-batch
-    # path runs shorter as the recorded baseline it improves on
+    def lr_for(bs: int) -> float:
+        return args.lr * (bs / 16.0) ** 0.5  # sqrt LR scaling from the batch-16 rate
+
+    def steps_for(bs: int, scale: int = 1) -> int:
+        return max((args.steps * 16) // (bs * scale), 50)
+
+    # device-only step anatomy: fwd vs fwd+bwd and train-step MFU, measured
+    # before the timed runs (VERDICT r3 #4: locate the 135-vs-1687 gap)
+    anatomy = [step_anatomy(shards, 16), step_anatomy(shards, args.batch_size)]
+    for a in anatomy:
+        print(f"anatomy: {a}")
+
+    # headline: device-rasterized batches + packed audio transport at the
+    # headline batch size, same total windows as the batch-16-equivalent
+    # step budget (batch scaling trades steps for batch at sqrt-scaled LR)
     params, train_stats = timed_training(
-        shards, args.steps, args.batch_size, args.lr, device_targets=True
+        shards, steps_for(args.batch_size), args.batch_size,
+        lr_for(args.batch_size), device_targets=True,
     )
-    print(f"training (device-rasterized batches): {train_stats}")
+    print(f"training (batch {args.batch_size}): {train_stats}")
+
+    # short sweep runs: same pipeline at other batch sizes (1/4 the windows)
+    sweep_stats = []
+    for bs in [int(b) for b in args.sweep.split(",") if b]:
+        _, s = timed_training(
+            shards, steps_for(bs, 4), bs, lr_for(bs), device_targets=True
+        )
+        print(f"sweep batch {bs}: {s}")
+        sweep_stats.append(
+            {k: s[k] for k in (
+                "batch_size", "learning_rate", "steps",
+                "step_time_ms_amortized", "windows_per_s",
+                "loader_feed_margin", "upload_ms_per_step",
+                "upload_bytes_per_step", "first_loss", "final_loss",
+            )}
+        )
+    train_stats["batch_sweep"] = sweep_stats
+
+    # dense-batch short run: the transport baseline the sparse+packed path
+    # improves on
     _, dense_stats = timed_training(
-        shards, max(args.steps // 4, 50), args.batch_size, args.lr
+        shards, steps_for(args.batch_size, 4), args.batch_size,
+        lr_for(args.batch_size),
     )
     print(f"training (dense batches): {dense_stats}")
     train_stats["dense_baseline"] = {
@@ -250,6 +376,7 @@ def main(argv=None) -> dict:
                 "track_seconds": args.seconds,
                 "layout": "guitarset (audio_mono-mic + per-string JAMS)",
             },
+            "step_anatomy": anatomy,
             **etl_stats,
             **train_stats,
             **f1_stats,
