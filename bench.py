@@ -331,10 +331,12 @@ def main() -> None:
                         "note": (
                             "serialized, device_get-forced per-stage pass on "
                             "the 20-min stream; overlap_efficiency is how much "
-                            "of this sum the production path hides (measured "
-                            "~0: the tunneled runtime's synchronous device_put "
-                            "+ serial link forbid upload/compute overlap — "
-                            "LINK_PROBE.json)"
+                            "of this sum the production path hides — device "
+                            "compute runs under the synchronous host upload "
+                            "stream (enqueued async), so model/decode time "
+                            "largely disappears behind upload_s; host-side "
+                            "upload threading is NOT used (unreliable under "
+                            "congestion — LINK_PROBE.json)"
                         ),
                     },
                     "decode_backend": transcriber.decode_backend,
