@@ -7,13 +7,22 @@ posteriorgrams within 1e-4 of the reference checkpoint on the golden clip
 AND identical decoded note events on the corpus sweep. This harness runs
 both precisions on the real chip and reports:
 
-  1. golden-clip posteriorgram max|Δ| vs the checked-in reference arrays
-     (tests/goldens) for each precision,
-  2. note-event identity between the two precisions on bench workloads,
+  1. golden-clip posteriorgram max|Δ| vs the REFERENCE's own checked-in
+     fixture through the full pipeline (a cross-runtime bar: the reference
+     fixture was produced by TF on another machine, so even HIGHEST sits at
+     ~5e-4 here; the repo's canonical 1e-4 parity is the per-window test
+     against tests/goldens, which regenerates on this machine),
+  2. note-event identity between the two precisions on bench workloads —
+     the DECISION GATE (the repo's contract is exact event parity),
   3. device-only model-stage time for each (device_get-forced), i.e. the
      actual speedup on offer.
 
-Accept/reject is recorded in docs/DESIGN.md with these numbers.
+Measured 2026-08-19 (v5e): HIGH = 1.595x model-stage speedup
+(0.248 -> 0.156 s per 20-min stream), golden deviation 2-6x worse
+(e.g. note 5.5e-4 -> 2.0e-3), and 6 event diffs in 5673 on dense piano
+(vocal workload identical). REJECTED as default — the pipeline keeps
+Precision.HIGHEST; callers who accept ~0.1% event churn can pass
+`StreamingTranscriber(precision=jax.lax.Precision.HIGH)`.
 Run: python tools/precision_ab.py
 """
 
@@ -72,7 +81,7 @@ def main() -> None:
 
     samples, sr = audio_io.read_wav(GOLDEN_WAV)
     golden_audio = audio_io.to_mono(samples)
-    golden = dict(np.load(GOLDEN_NPZ))
+    golden = np.load(GOLDEN_NPZ, allow_pickle=True)["arr_0"].item()
 
     single = bench.synth_audio(1200.0, seed=7)
     single_pcm = np.clip(np.round(single * 32768.0), -32768, 32767).astype(np.int16)
