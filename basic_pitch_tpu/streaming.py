@@ -27,8 +27,16 @@ cadence) + ``lookahead_seconds`` + one pipeline round trip.
 Decode semantics are segment-local by construction: the dB normalization,
 inferred-onset rescaling, and melodia iteration see the sliding window,
 not the whole recording — identical to offline output whenever the window
-covers the surrounding material (tests pin this on gapped melodies), and
-documented to differ on material whose global statistics matter. Notes
+covers the surrounding material (tests pin this on gapped melodies). On
+material whose global statistics matter the divergence is MEASURED, not
+open-ended (STREAM_PARITY.json, tools/stream_parity.py, v5e 2026-08-19):
+against the offline decode of the same audio, event F1 (onset+pitch,
+50 ms) at the default settings is >= 0.996 on 60 s of dense continuous
+4-voice polyphony and 1.000 on polyphonic piano and real vocals; the
+aggressive low-latency setting (segment 1 s, lookahead 0.5 s, context 8 s)
+bottoms out at 0.9455 on looped vocals whose notes repeatedly span the
+context cap. tests/test_streaming.py::test_dense_polyphony_parity_bound
+pins the default-settings bound. Notes
 longer than ``max_context_seconds`` survive the window sliding past their
 onset: the pending-note key is clamped to the trim cut so the re-decoded
 window-edge onset still matches, and the event is emitted with the onset

@@ -231,6 +231,31 @@ def test_stream_cli_ndjson_matches_offline(transcriber, capsys):
     assert "trailing byte" not in err
 
 
+def test_dense_polyphony_parity_bound(transcriber):
+    """Pin the MEASURED streaming-vs-offline bound on the admitted worst
+    case (STREAM_PARITY.json): dense continuous polyphony, default session
+    settings. The 60 s hardware measurement is F1 0.996; this miniature
+    (12 s, same generator) must clear 0.95 — far above what a broken
+    pending/finalization path produces, small enough for the CPU suite."""
+    import pathlib
+    import sys
+
+    from basic_pitch_tpu.utils import eval as eval_utils
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parent.parent / "tools"))
+    import stream_parity
+
+    audio = stream_parity.dense_polyphony(12.0, seed=0)
+    offline = transcriber.transcribe(audio, SR)
+    session = StreamingSession(transcriber)
+    live, tail = stream_all(session, audio)
+    ref = eval_utils.events_to_notes(offline)
+    est = eval_utils.events_to_notes(live + tail)
+    score = eval_utils.precision_recall_f1(ref, est)
+    assert score["n_reference"] >= 30, "workload too sparse to be meaningful"
+    assert score["f1"] >= 0.95, score
+
+
 def test_streaming_at_44k(transcriber):
     """44.1 kHz sessions decimate on device like offline transcribe; the
     window-hop alignment doubles with the rate."""
