@@ -176,11 +176,16 @@ def example_stream(
     seed: Optional[int] = None,
     num_shards: int = 1,
     shard_index: int = 0,
+    parse_workers: int = 1,
 ) -> Iterator[Dict]:
     """One pass over the split: every file once, windows per track.
 
     ``num_shards``/``shard_index`` restrict the pass to this host's file
-    partition (disjoint across indices, jointly complete)."""
+    partition (disjoint across indices, jointly complete).
+    ``parse_workers > 1`` parses records on a small thread pool (the heavy
+    numpy work — proto walk, WAV decode, sparse densify — releases the GIL);
+    order is preserved, so window extraction consumes the shared rng in the
+    same sequence and the stream stays deterministic for a fixed seed."""
     if split == "validation":
         pairs = False
         if n_samples_per_track != 1:
@@ -204,29 +209,56 @@ def example_stream(
     else:
         order = validation_file_order(file_dict)
 
+    def records() -> Iterator[bytes]:
+        for path in order:
+            yield from tfrecord.read_tfrecords(path)
+
+    def safe_parse(record: bytes):
+        try:
+            return serialization.parse_transcription_example(record)
+        except Exception:
+            return None  # corrupt example failsafe (`:364`)
+
+    if parse_workers > 1:
+        parsed = _parallel_map(records(), safe_parse, parse_workers)
+    else:
+        parsed = map(safe_parse, records())
+
     pending_pair: Optional[Dict] = None
-    for path in order:
-        for record in tfrecord.read_tfrecords(path):
-            try:
-                example = serialization.parse_transcription_example(record)
-            except Exception:
-                continue  # corrupt example failsafe (`:364`)
-            if example.notes.shape[0] == 0 and example.onsets.shape[0] == 0 and example.contours.shape[0] == 0:
-                continue
-            for item in iter_track_windows(
-                example, n_samples_per_track, deterministic=(split != "train"), rng=nprng
-            ):
-                if pairs:
-                    if pending_pair is None:
-                        pending_pair = item
-                    else:
-                        yield _combine_pair(pending_pair, item)
-                        pending_pair = None
-                    # unpaired examples also flow through, like the
-                    # reference's choose_from_datasets alternation
-                    yield item
+    for example in parsed:
+        if example is None:
+            continue
+        if example.notes.shape[0] == 0 and example.onsets.shape[0] == 0 and example.contours.shape[0] == 0:
+            continue
+        for item in iter_track_windows(
+            example, n_samples_per_track, deterministic=(split != "train"), rng=nprng
+        ):
+            if pairs:
+                if pending_pair is None:
+                    pending_pair = item
                 else:
-                    yield item
+                    yield _combine_pair(pending_pair, item)
+                    pending_pair = None
+                # unpaired examples also flow through, like the
+                # reference's choose_from_datasets alternation
+                yield item
+            else:
+                yield item
+
+
+def _parallel_map(items: Iterator, fn, workers: int, ahead: int = 16) -> Iterator:
+    """Order-preserving parallel map with bounded in-flight work."""
+    import collections
+    import concurrent.futures
+
+    with concurrent.futures.ThreadPoolExecutor(workers) as pool:
+        futures = collections.deque()
+        for item in items:
+            futures.append(pool.submit(fn, item))
+            if len(futures) >= ahead:
+                yield futures.popleft().result()
+        while futures:
+            yield futures.popleft().result()
 
 
 def _shuffled(stream: Iterator[Dict], buffer_size: int, rng: random.Random) -> Iterator[Dict]:
@@ -400,6 +432,7 @@ def prepare_datasets(
     device_targets: bool = False,
     num_shards: int = 1,
     shard_index: int = 0,
+    parse_workers: int = 1,
 ) -> tuple:
     """(infinite train iterator, infinite cached validation iterator) —
     the reference's `prepare_datasets` contract (`:42-108`).
@@ -436,6 +469,7 @@ def prepare_datasets(
                 seed=None if seed is None else seed + epoch,
                 num_shards=num_shards,
                 shard_index=shard_index,
+                parse_workers=parse_workers,
             )
             epoch += 1
 

@@ -13,6 +13,7 @@ checkpoints are this framework's flat-npz parameter archives.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import pathlib
 import time
 from typing import Any, Callable, Dict, Iterator, Optional, Tuple
@@ -81,13 +82,50 @@ def materialize_batch(batch: Batch) -> Batch:
 # ---------------------------------------------------------------------------
 
 
+_WIRE_MIN_BUCKET = 64
+
+
+def _trim_sparse_for_wire(batch: Batch) -> Batch:
+    """Slice each sparse head's (idx, val) to the batch's actual pow2 nnz
+    bucket for the wire; `upload_batch` re-pads ON DEVICE to the executable
+    cap (sentinel idx / zero val — scatter-dropped slots, so materialization
+    is unchanged bit-for-bit). The caps exist to keep ONE train-step
+    executable (loader._SPARSE_CAP_FLOORS); without this trim they also
+    shipped as bytes — ~54 KB/window of padding against ~1-2 KB of real
+    nonzeros, the dominant target-upload cost at batch >= 64."""
+    if "targets_sparse" not in batch:
+        return batch
+    out = dict(batch)
+    trimmed = {}
+    for head, sp in batch["targets_sparse"].items():
+        idx, val = sp["idx"], sp["val"]
+        cap = idx.shape[1]
+        sentinel = constants.ANNOT_N_FRAMES * _HEAD_BINS[head]
+        nnz_max = int((idx != sentinel).sum(axis=1).max()) if cap else 0
+        bucket = _WIRE_MIN_BUCKET
+        while bucket < nnz_max:
+            bucket *= 2
+        if bucket < cap:
+            trimmed[head] = {
+                "idx": np.ascontiguousarray(idx[:, :bucket]),
+                "val": np.ascontiguousarray(val[:, :bucket]),
+                "cap": cap,
+            }
+        else:
+            trimmed[head] = {"idx": idx, "val": val, "cap": cap}
+    out["targets_sparse"] = trimmed
+    return out
+
+
 def pack_batch_audio(batch: Batch, pcm_transport: str = "auto") -> Batch:
-    """Host-side: replace int16 batch audio with its packed form when the
-    measured transport picks the codec. Run this where the loader runs
-    (e.g. under `packed_batches`) so packing stays off the step loop."""
+    """Host-side wire preparation: replace int16 batch audio with its packed
+    form when the measured transport picks the codec, and trim sparse-target
+    padding off the wire. Run this where the loader runs (e.g. under
+    `packed_batches`) so the CPU work stays off the step loop."""
     from basic_pitch_tpu.ops import pcmcodec, transport
 
-    audio = batch["audio"]
+    batch = _trim_sparse_for_wire(batch)
+    audio = batch.get("audio")
     if (
         isinstance(audio, np.ndarray)
         and audio.dtype == np.int16
@@ -105,7 +143,9 @@ def pack_batch_audio(batch: Batch, pcm_transport: str = "auto") -> Batch:
 
 
 def packed_batches(batches: Iterator[Batch], pcm_transport: str = "auto") -> Iterator[Batch]:
-    """Wrap a batch iterator with prefetch-thread audio packing."""
+    """Wrap a batch iterator with prefetch-thread wire preparation (audio
+    packing + sparse-target trimming). Single-device transport only: mesh
+    training shards host batches directly (`mesh_lib.shard_batch`)."""
     from basic_pitch_tpu.data.loader import _prefetch
 
     return _prefetch(
@@ -113,11 +153,36 @@ def packed_batches(batches: Iterator[Batch], pcm_transport: str = "auto") -> Ite
     )
 
 
+def needs_upload(batch: Batch) -> bool:
+    """True when the batch is in wire form (packed audio and/or trimmed
+    sparse targets) and must go through `upload_batch` before the step."""
+    if "audio_packed" in batch:
+        return True
+    ts = batch.get("targets_sparse")
+    return bool(ts) and any("cap" in sp for sp in ts.values())
+
+
+@functools.lru_cache(maxsize=64)
+def _pad_sparse_fn(cap: int, sentinel: int):
+    """(B, bucket) wire idx/val -> (B, cap): restore the executable-cap
+    shape on device (sentinel idx rows are scatter-dropped, zero vals)."""
+
+    def run(idx, val):
+        extra = cap - idx.shape[1]
+        return (
+            jnp.pad(idx, ((0, 0), (0, extra)), constant_values=sentinel),
+            jnp.pad(val, ((0, 0), (0, extra))),
+        )
+
+    return jax.jit(run)
+
+
 def upload_batch(batch: Batch) -> Tuple[Batch, int]:
     """Ship one loader batch to the device explicitly; returns the device
     batch and the bytes that crossed the host->device link. Codec-packed
     audio reconstructs in HBM as the exact dequantized float32 samples
-    (`materialize_batch` passes float32 audio through untouched)."""
+    (`materialize_batch` passes float32 audio through untouched); wire-
+    trimmed sparse targets re-pad on device to the executable caps."""
     from basic_pitch_tpu.ops import pcmcodec
 
     if "audio_packed" in batch:
@@ -128,12 +193,25 @@ def upload_batch(batch: Batch) -> Tuple[Batch, int]:
             packed, int(np.prod(shape))
         ).reshape(shape)
     else:
-        rest = {k: v for k, v in batch.items() if k != "audio"}
-        nbytes = batch["audio"].nbytes
-        audio_dev = jax.device_put(batch["audio"])
+        rest = dict(batch)  # raw audio rides with the other leaves
+        nbytes = 0
+        audio_dev = None
+    trimmed = rest.pop("targets_sparse", None)
     nbytes += sum(leaf.nbytes for leaf in jax.tree_util.tree_leaves(rest))
     dev = jax.device_put(rest)
-    dev["audio"] = audio_dev
+    if audio_dev is not None:
+        dev["audio"] = audio_dev
+    if trimmed is not None:
+        heads = {}
+        for head, sp in trimmed.items():
+            idx_dev, val_dev = jax.device_put((sp["idx"], sp["val"]))
+            nbytes += sp["idx"].nbytes + sp["val"].nbytes
+            cap = sp.get("cap", sp["idx"].shape[1])
+            if cap > sp["idx"].shape[1]:
+                sentinel = constants.ANNOT_N_FRAMES * _HEAD_BINS[head]
+                idx_dev, val_dev = _pad_sparse_fn(cap, sentinel)(idx_dev, val_dev)
+            heads[head] = {"idx": idx_dev, "val": val_dev}
+        dev["targets_sparse"] = heads
     return dev, nbytes
 
 
@@ -488,9 +566,9 @@ def fit(
                 batch = dist.global_batch(mesh, batch)
             elif mesh is not None:
                 batch = mesh_lib.shard_batch(mesh, batch)
-            elif "audio_packed" in batch:
-                # codec-packed audio from `packed_batches` (single-device
-                # transport): reconstruct in HBM before the jitted step
+            elif needs_upload(batch):
+                # wire-form batch from `packed_batches` (codec audio and/or
+                # trimmed sparse targets): reconstruct in HBM before the step
                 batch, _ = upload_batch(batch)
             params, opt_state, metrics = train_step(params, opt_state, batch)
             train_metrics.append(metrics)

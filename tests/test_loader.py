@@ -80,6 +80,24 @@ def test_example_stream_shapes(data_dir):
     assert item["weights"]["note"] == 1.0
 
 
+def test_parallel_parse_is_deterministic(data_dir):
+    """parse_workers>1 must yield the identical stream for a fixed seed —
+    order-preserving parallel map, rng consumed in stream order."""
+    serial = loader.example_stream(
+        "train", str(data_dir), ["setA", "setB"], [0.5, 0.5], seed=3
+    )
+    parallel = loader.example_stream(
+        "train", str(data_dir), ["setA", "setB"], [0.5, 0.5], seed=3,
+        parse_workers=4,
+    )
+    for _ in range(12):
+        a, b = next(serial), next(parallel)
+        np.testing.assert_array_equal(a["audio"], b["audio"])
+        for head in ("onset", "note", "contour"):
+            np.testing.assert_array_equal(a["targets"][head], b["targets"][head])
+            assert a["weights"][head] == b["weights"][head]
+
+
 def test_missing_dataset_raises(tmp_path):
     with pytest.raises(FileNotFoundError):
         next(loader.example_stream("train", str(tmp_path), ["nope"], [1.0]))

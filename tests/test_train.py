@@ -384,14 +384,27 @@ def test_packed_batch_transport_bitexact():
 
     packed = train_loop.pack_batch_audio(device, pcm_transport="codec")
     assert "audio_packed" in packed and "audio" not in packed
+    assert train_loop.needs_upload(packed)
+    # sparse targets are wire-trimmed to the batch's nnz bucket: far fewer
+    # bytes than the executable caps the loader pads to
+    for head, sp in packed["targets_sparse"].items():
+        assert sp["idx"].shape[1] <= device["targets_sparse"][head]["idx"].shape[1]
     dev_batch, nbytes = train_loop.upload_batch(packed)
     expected = packed["audio_packed"][0].packed_bytes + sum(
         leaf.nbytes
         for k, v in packed.items()
         if k != "audio_packed"
         for leaf in jax.tree_util.tree_leaves(v)
+        if hasattr(leaf, "nbytes")
     )
     assert nbytes == expected
+    untrimmed_wire = sum(
+        leaf.nbytes for leaf in jax.tree_util.tree_leaves(device)
+    )
+    assert nbytes < 0.6 * untrimmed_wire, (nbytes, untrimmed_wire)
+    # device batch restored to the executable cap shapes
+    for head, sp in dev_batch["targets_sparse"].items():
+        assert sp["idx"].shape == device["targets_sparse"][head]["idx"].shape
     mat = train_loop.materialize_batch(dev_batch)
     np.testing.assert_array_equal(np.asarray(mat["audio"]), dense["audio"])
     for head in ("onset", "note", "contour"):

@@ -87,7 +87,7 @@ def timed_training(shards, steps: int, batch_size: int, learning_rate: float,
 
     train_iter, _ = loader.prepare_datasets(
         str(shards), shuffle, batch_size, 2, ["guitarset"], [1.0], seed=0,
-        device_targets=device_targets,
+        device_targets=device_targets, parse_workers=4,
     )
     if device_targets:
         train_iter = train_loop.packed_batches(train_iter, pcm_transport)
