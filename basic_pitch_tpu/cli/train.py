@@ -45,6 +45,7 @@ def main(
     coordinator: str = "",
     num_processes: int = 1,
     process_id: int = 0,
+    parse_workers: int = 2,
 ) -> None:
     """Build datasets, model, and callbacks, then run the fit loop."""
     if num_processes > 1:
@@ -80,6 +81,7 @@ def main(
         device_targets=device_targets,
         num_shards=num_processes,
         shard_index=process_id,
+        parse_workers=parse_workers,
     )
 
     timestamp = datetime.now(timezone.utc).strftime("%Y%m%d-%H%M")
@@ -191,6 +193,9 @@ def console_entry_point() -> None:
                         help="multi-host: total number of training processes")
     parser.add_argument("--process-id", type=int, default=0,
                         help="multi-host: this process's id in [0, --num-processes)")
+    parser.add_argument("--parse-workers", type=int, default=2,
+                        help="loader record-parse threads (order-preserving; "
+                             "deterministic for a fixed seed)")
     args = parser.parse_args()
 
     datasets_flagged = [
@@ -227,6 +232,7 @@ def console_entry_point() -> None:
         args.coordinator,
         args.num_processes,
         args.process_id,
+        args.parse_workers,
     )
 
 
