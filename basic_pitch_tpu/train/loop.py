@@ -579,6 +579,8 @@ def fit(
                 batch = dist.global_batch(mesh, dist.local_slice(batch))
             elif mesh is not None:
                 batch = mesh_lib.shard_batch(mesh, batch)
+            elif needs_upload(batch):  # wire-form val batches (packed_batches)
+                batch, _ = upload_batch(batch)
             val_metrics.append(eval_step(params, batch))
 
         train_loss = float(np.mean([m["loss"] for m in jax.device_get(train_metrics)]))
