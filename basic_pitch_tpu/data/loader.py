@@ -274,15 +274,32 @@ def _shuffled(stream: Iterator[Dict], buffer_size: int, rng: random.Random) -> I
     yield from buffer
 
 
-def _batched(
-    stream: Iterator[Dict], batch_size: int, device_targets: bool = False
-) -> Iterator[Batch]:
+def _batch_lists(stream: Iterator[Dict], batch_size: int) -> Iterator[List[Dict]]:
     items: List[Dict] = []
     for item in stream:
         items.append(item)
         if len(items) == batch_size:
-            yield _collate_device(items) if device_targets else _collate(items)
+            yield items
             items = []
+
+
+def _batched(
+    stream: Iterator[Dict],
+    batch_size: int,
+    device_targets: bool = False,
+    collate_workers: int = 1,
+) -> Iterator[Batch]:
+    """Collate item lists into batches; ``collate_workers > 1`` runs the
+    collate on an order-preserving thread pool. Measured on this box's
+    GIL build it is a slight pessimization (85 -> 99 ms/batch — the numpy
+    ops are too small to release the GIL usefully), so the default stays 1;
+    the knob exists for free-threaded/larger-batch deployments."""
+    collate = _collate_device if device_targets else _collate
+    lists = _batch_lists(stream, batch_size)
+    if collate_workers > 1:
+        yield from _parallel_map(lists, collate, collate_workers, ahead=4)
+    else:
+        yield from map(collate, lists)
 
 
 def _collate(items: List[Dict]) -> Batch:
@@ -315,21 +332,27 @@ def _sparse_head(head: str, mats: List[np.ndarray]) -> Dict[str, np.ndarray]:
     sentinel T * bins so the device scatter (mode="drop") ignores them. Coords
     within a window are unique (np.nonzero of a dense matrix), so a plain
     scatter-set reproduces the dense matrix bit-exactly.
+
+    One batched np.nonzero over the stacked windows: per-window nonzero
+    calls were the loader's measured hot spot (~29 ms per 64-window batch
+    in 192 small GIL-bound calls); the batched sweep is one big pass and
+    yields the identical row-major ordering per window.
     """
     frames, bins = mats[0].shape
-    coo = []
-    for m in mats:
-        t, f = np.nonzero(m)
-        coo.append((t.astype(np.int32) * bins + f.astype(np.int32), m[t, f]))
-    nnz_max = max(len(i) for i, _ in coo)
+    stacked = np.stack(mats)  # (B, T, bins)
+    bs, ts, fs = np.nonzero(stacked)
+    flat = ts.astype(np.int32) * np.int32(bins) + fs.astype(np.int32)
+    vals = stacked[bs, ts, fs].astype(np.float32)
+    counts = np.bincount(bs, minlength=len(mats))
     cap = _SPARSE_CAP_FLOORS[head]
-    while cap < nnz_max:
+    while cap < int(counts.max(initial=0)):
         cap *= 2
     idx = np.full((len(mats), cap), frames * bins, np.int32)
     val = np.zeros((len(mats), cap), np.float32)
-    for b, (i, v) in enumerate(coo):
-        idx[b, : len(i)] = i
-        val[b, : len(v)] = v.astype(np.float32)
+    starts = np.concatenate([[0], np.cumsum(counts[:-1])])
+    pos = np.arange(len(bs)) - starts[bs]
+    idx[bs, pos] = flat
+    val[bs, pos] = vals
     return {"idx": idx, "val": val}
 
 
@@ -433,6 +456,7 @@ def prepare_datasets(
     num_shards: int = 1,
     shard_index: int = 0,
     parse_workers: int = 1,
+    collate_workers: int = 1,
 ) -> tuple:
     """(infinite train iterator, infinite cached validation iterator) —
     the reference's `prepare_datasets` contract (`:42-108`).
@@ -477,7 +501,9 @@ def prepare_datasets(
     train_stream: Iterator[Dict] = train_epochs()
     if training_shuffle_buffer_size > 0:
         train_stream = _shuffled(train_stream, training_shuffle_buffer_size, rng)
-    train_iter = _prefetch(_batched(train_stream, train_batch_size, device_targets))
+    train_iter = _prefetch(
+        _batched(train_stream, train_batch_size, device_targets, collate_workers)
+    )
 
     # validation: materialize `validation_steps` batches once, cycle forever
     def val_batches():

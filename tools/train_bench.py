@@ -290,6 +290,8 @@ def main(argv=None) -> dict:
     ap.add_argument("--lr", type=float, default=1e-3, help="batch-16 learning rate")
     ap.add_argument("--sweep", default="16,128",
                     help="comma list of extra batch sizes for short sweep runs ('' skips)")
+    ap.add_argument("--no-baseline-f1", dest="baseline_f1", action="store_false",
+                    help="skip the same-corpus batch-16 convergence comparator")
     ap.add_argument("--workdir", default=None, help="reuse a directory (default: temp)")
     ap.add_argument("--out", default=str(REPO_ROOT / "TRAIN_BENCH.json"))
     args = ap.parse_args(argv)
@@ -360,6 +362,20 @@ def main(argv=None) -> dict:
 
     f1_stats = heldout_f1(corpus, shards, params)
     print(f"held-out: {f1_stats}")
+
+    if args.baseline_f1:
+        # the convergence gate is SAME-CORPUS parity with the reference-
+        # shaped batch-16 recipe (held-out F1 varies with the random corpus,
+        # so cross-run absolute numbers don't compare)
+        params16, _ = timed_training(
+            shards, steps_for(16), 16, lr_for(16), device_targets=True
+        )
+        f1_16 = heldout_f1(corpus, shards, params16)
+        print(f"batch-16 baseline held-out: {f1_16}")
+        f1_stats["batch16_baseline_note_f1"] = f1_16["heldout_note_f1"]
+        f1_stats["batch16_baseline_note_f1_with_offsets"] = f1_16[
+            "heldout_note_f1_with_offsets"
+        ]
 
     report = {
         "metric": "train_step_audio_windows_per_s",
