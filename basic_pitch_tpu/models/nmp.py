@@ -202,6 +202,7 @@ def forward(
     config: ModelConfig = DEFAULT_CONFIG,
     train: bool = False,
     precision=jax.lax.Precision.HIGHEST,
+    head_precision=None,
 ) -> Tuple[Dict[str, jnp.ndarray], Dict[str, Any]]:
     """Full NMP forward pass.
 
@@ -210,20 +211,28 @@ def forward(
         audio: (batch, AUDIO_N_SAMPLES) float32 at 22050 Hz.
         train: batch-norm mode; when True the second return value carries the
             per-layer batch statistics for moving-average updates.
+        precision: MXU precision for the CQT front-end (and the heads unless
+            overridden). The CQT is the numerically fragile stage — its
+            output goes through a log — so it stays at HIGHEST by default.
+        head_precision: optional separate precision for the six head convs,
+            which carry ~60% of the model's device time at well-conditioned
+            post-BN activations (measured, tools/precision_ab.json). None
+            means "same as precision".
 
     Returns:
         ({"onset": (b,t,88), "contour": (b,t,264), "note": (b,t,88)}, bn_stats)
     """
     x, bn_stats = frontend(params, audio, config, train, precision)
     stats: Dict[str, Any] = dict(bn_stats)
+    hp = precision if head_precision is None else head_precision
 
     # --- contour head ---
-    c = _conv2d(x, params["contour_conv"]["w"], params["contour_conv"]["b"], precision=precision)
+    c = _conv2d(x, params["contour_conv"]["w"], params["contour_conv"]["b"], precision=hp)
     c, stats["bn_contour"] = _batch_norm(c, params["bn_contour"], train)
     c = jax.nn.relu(c)
 
     if not config.no_contours:
-        c = _conv2d(c, params["contour_out"]["w"], params["contour_out"]["b"], precision=precision)
+        c = _conv2d(c, params["contour_out"]["w"], params["contour_out"]["b"], precision=hp)
         c = jax.nn.sigmoid(c)
         contour = c.reshape(c.shape[0], c.shape[1], -1)  # (b, t, 264)
         note_in = contour[..., None]  # reduced contours feed the note head
@@ -233,23 +242,23 @@ def forward(
 
     # --- note head ---
     n = _conv2d(
-        note_in, params["note_conv"]["w"], params["note_conv"]["b"], strides=(1, 3), precision=precision
+        note_in, params["note_conv"]["w"], params["note_conv"]["b"], strides=(1, 3), precision=hp
     )
     n = jax.nn.relu(n)
     n_pre = jax.nn.sigmoid(
-        _conv2d(n, params["note_out"]["w"], params["note_out"]["b"], precision=precision)
+        _conv2d(n, params["note_out"]["w"], params["note_out"]["b"], precision=hp)
     )  # (b, t, 88, 1)
     note = n_pre.reshape(n_pre.shape[0], n_pre.shape[1], -1)
 
     # --- onset head ---
     o = _conv2d(
-        x, params["onset_conv"]["w"], params["onset_conv"]["b"], strides=(1, 3), precision=precision
+        x, params["onset_conv"]["w"], params["onset_conv"]["b"], strides=(1, 3), precision=hp
     )
     o, stats["bn_onset"] = _batch_norm(o, params["bn_onset"], train)
     o = jax.nn.relu(o)
     o = jnp.concatenate([n_pre, o], axis=-1)  # note-pre first, then onset stack
     o = jax.nn.sigmoid(
-        _conv2d(o, params["onset_out"]["w"], params["onset_out"]["b"], precision=precision)
+        _conv2d(o, params["onset_out"]["w"], params["onset_out"]["b"], precision=hp)
     )
     onset = o.reshape(o.shape[0], o.shape[1], -1)
 
@@ -261,9 +270,13 @@ def predict_fn(
     audio: jnp.ndarray,
     config: ModelConfig = DEFAULT_CONFIG,
     precision=jax.lax.Precision.HIGHEST,
+    head_precision=None,
 ) -> Dict[str, jnp.ndarray]:
     """Inference-only forward (no BN stats)."""
-    out, _ = forward(params, audio, config, train=False, precision=precision)
+    out, _ = forward(
+        params, audio, config, train=False, precision=precision,
+        head_precision=head_precision,
+    )
     return out
 
 

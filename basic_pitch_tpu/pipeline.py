@@ -83,6 +83,10 @@ class StreamingTranscriber:
         precision: jax matmul precision for the whole pipeline. HIGHEST keeps
             posteriorgrams within 1e-4 of the float32 reference; DEFAULT
             (bf16 inputs) roughly doubles throughput at reduced fidelity.
+        head_precision: optional separate precision for the model's head
+            convs only (the CQT front-end keeps ``precision``). The heads
+            carry ~60% of model device time; see tools/precision_ab.json
+            for the measured speed/parity trade before changing this.
         mesh: optional Mesh with a "data" axis to shard the window batch.
         decode_backend: "auto" (default — probe both decoders once per
             process at init and pick the measured winner; see
@@ -107,6 +111,7 @@ class StreamingTranscriber:
         config: nmp.ModelConfig = nmp.DEFAULT_CONFIG,
         windows_per_chunk: int = 128,
         precision=jax.lax.Precision.HIGHEST,
+        head_precision=None,
         mesh: Optional[jax.sharding.Mesh] = None,
         decode_backend: str = "auto",
         pcm_transport: str = "codec",
@@ -122,6 +127,7 @@ class StreamingTranscriber:
         self.config = config
         self.w = windows_per_chunk
         self.precision = precision
+        self.head_precision = head_precision
         self.mesh = mesh
         self.chunk_len = HOP * self.w + OVERLAP  # samples @22.05k per chunk
 
@@ -208,10 +214,14 @@ class StreamingTranscriber:
         from basic_pitch_tpu.decode import device as device_decode
 
         precision = self.precision
+        head_precision = self.head_precision
         config = self.config
 
         def finish(params, windows, w):
-            out = nmp.predict_fn(params, windows, config, precision=precision)
+            out = nmp.predict_fn(
+                params, windows, config, precision=precision,
+                head_precision=head_precision,
+            )
             out = {
                 k: v[:, TRIM : v.shape[1] - TRIM, :].reshape(
                     w * FRAMES_PER_WINDOW, v.shape[2]
@@ -498,6 +508,7 @@ class StreamingTranscriber:
 
     def _build(self, chunk_is_44k: bool):
         precision = self.precision
+        head_precision = self.head_precision
         config = self.config
         slice_len = 2 * self.chunk_len + 2 * _DEC_HALO if chunk_is_44k else self.chunk_len
 
@@ -512,7 +523,10 @@ class StreamingTranscriber:
                     chunk, precision=precision, halo=True, n_out=self.chunk_len
                 )
             windows = _unfold_windows(chunk, self.w)  # (W, WINDOW), reshapes only
-            out = nmp.predict_fn(params, windows, config, precision=precision)
+            out = nmp.predict_fn(
+                params, windows, config, precision=precision,
+                head_precision=head_precision,
+            )
             # overlap trim + fold windows into the time axis
             return {
                 k: v[:, TRIM : v.shape[1] - TRIM, :].reshape(

@@ -298,9 +298,10 @@ def main() -> None:
     # minute-scale tunnel-weather variance), not best-of-N (VERDICT r3)
     headline = float(np.median(batch_runs))
     # how much of the serialized stage sum the production path hides:
-    # 1 - wall/sum(stages); ~0 is expected — the link probe measured that
-    # this runtime's RPC model forbids upload/compute overlap (synchronous
-    # device_put, ~19x upload slowdown under in-flight compute)
+    # 1 - serialized_xRT/measured_xRT. Device compute (enqueued async) runs
+    # under the synchronous host upload stream, so model/decode time largely
+    # disappears behind upload_s; host-side upload THREADING is separately
+    # rejected (unreliable under tunnel congestion — LINK_PROBE.json)
     serialized_x = single_seconds / serialized
     median_single = float(np.median(single_runs))
     overlap_efficiency = round(1.0 - serialized_x / max(median_single, 1e-9), 3)

@@ -71,3 +71,31 @@ def test_no_contours_config():
     out = nmp.predict_fn(params, audio, config)
     assert out["note"].shape == (1, 172, 88)
     assert out["onset"].shape == (1, 172, 88)
+
+
+def test_head_precision_plumbing(nmp_params):
+    """head_precision=None must be byte-identical to the single-precision
+    path (the default), and an explicit head_precision must only perturb the
+    posteriorgrams within float tolerance — the CQT front-end keeps the main
+    precision, so outputs stay close even with bf16 heads."""
+    rng = np.random.default_rng(11)
+    audio = jnp.asarray(
+        rng.standard_normal((2, constants.AUDIO_N_SAMPLES)).astype(np.float32) * 0.1
+    )
+    base = nmp.predict_fn(nmp_params, audio, precision=jax.lax.Precision.HIGHEST)
+    same = nmp.predict_fn(
+        nmp_params, audio,
+        precision=jax.lax.Precision.HIGHEST, head_precision=None,
+    )
+    mixed = nmp.predict_fn(
+        nmp_params, audio,
+        precision=jax.lax.Precision.HIGHEST,
+        head_precision=jax.lax.Precision.DEFAULT,
+    )
+    for head in ("note", "onset", "contour"):
+        np.testing.assert_array_equal(np.asarray(base[head]), np.asarray(same[head]))
+        # sigmoid outputs in [0,1]: bf16 heads stay within ~1e-2 of fp32
+        np.testing.assert_allclose(
+            np.asarray(base[head]), np.asarray(mixed[head]), atol=2e-2, rtol=0,
+            err_msg=head,
+        )
