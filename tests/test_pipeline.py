@@ -179,3 +179,20 @@ def test_synthetic_roundtrip_short():
 def test_rejects_unknown_rate(transcriber):
     with pytest.raises(ValueError):
         transcriber.posteriorgrams(np.zeros(1000, np.float32), 48000)
+
+
+@needs_clip
+def test_chunk_size_is_semantically_transparent():
+    """Events are identical across windows_per_chunk settings — chunking is
+    a pure dispatch choice (docs/DESIGN.md 2e sweeps it for speed only)."""
+    samples, sr = audio_io.read_wav(VOCADITO)
+    y = audio_io.to_mono(samples)
+    events_by_w = {
+        w: sorted(pipeline.StreamingTranscriber(windows_per_chunk=w).transcribe(y, sr))
+        for w in (2, 4, 8)
+    }
+    base = events_by_w[2]
+    for w in (4, 8):
+        assert len(events_by_w[w]) == len(base)
+        for a, b in zip(base, events_by_w[w]):
+            assert a[2] == b[2] and abs(a[0] - b[0]) < 1e-9 and abs(a[1] - b[1]) < 1e-9
