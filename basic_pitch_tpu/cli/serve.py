@@ -38,6 +38,15 @@ def build_parser() -> argparse.ArgumentParser:
         help="how PCM crosses the host->device link: measured by default",
     )
     parser.add_argument(
+        "--head-precision", choices=["highest", "high", "default"],
+        default="highest",
+        help="MXU precision for the model's head convs only (the CQT "
+        "front-end always runs HIGHEST). 'high' is a measured 1.57x "
+        "model-stage speedup whose churn was ONE event offset frame in "
+        "5673 on dense material (tools/precision_ab.json); 'highest' "
+        "keeps exact event parity with the library path",
+    )
+    parser.add_argument(
         "--max-batch", type=int, default=8,
         help="max concurrent requests fused into one device dispatch",
     )
@@ -97,11 +106,19 @@ def main(args=None) -> None:
 
     from basic_pitch_tpu import pipeline, serve
 
+    import jax
+
+    head_precision = {
+        "highest": None,
+        "high": jax.lax.Precision.HIGH,
+        "default": jax.lax.Precision.DEFAULT,
+    }[ns.head_precision]
     transcriber = pipeline.StreamingTranscriber(
         ns.model_path,
         windows_per_chunk=ns.windows_per_chunk,
         decode_backend=ns.decode_backend,
         pcm_transport=ns.pcm_transport,
+        head_precision=head_precision,
     )
     if ns.warmup:
         _warm(transcriber, ns.warmup)
