@@ -66,6 +66,10 @@ def _bind(lib: ctypes.CDLL) -> None:
     lib.pack_pcm16_residual.argtypes = [ptr, i64, i32, ptr, i32, ptr, i64, ptr, ptr, ptr]
     lib.pack_pcm16_residual.restype = i64
     lib.residual_order_costs.argtypes = [ptr, i64, ptr]
+    lib.lpc_analyze_pcm16.argtypes = [ptr, i64, i32, ptr, ptr]
+    lib.lpc_analyze_pcm16.restype = i64
+    lib.pack_pcm16_lpc.argtypes = [ptr, i64, i32, ptr, ptr, ptr, i32, ptr, i64, ptr, ptr, ptr]
+    lib.pack_pcm16_lpc.restype = i64
 
 
 def _try_open() -> Optional[ctypes.CDLL]:

@@ -61,6 +61,21 @@ _MIN_BUCKET = 8
 _MERGE_MIN_ROWS = 64  # groups below this merge into the next wider width
 _ORDERS = (1, 2, 3)  # FLAC-style fixed-predictor orders; best chosen per piece
 
+# LPC mode: per-block adaptive prediction (FLAC's LPC subframes, where the
+# fixed orders above are its "fixed" subframes). Coefficients are quantized
+# so sum|c| <= 32767 — that bounds the device's int32 prediction accumulator
+# |sum c_j*x[n-j]| < 2^30, making the lax.scan reconstruction exact integer
+# arithmetic. The wire is SELF-DESCRIBING (reconstruction uses the shipped
+# coefficients), so float analysis differences between the C++ and numpy
+# analyzers can change the ratio but never correctness.
+LPC_ORDER = 8
+_LPC_MAX_SHIFT = 14
+# LPC must beat the best fixed order's exact bit cost by this factor to be
+# chosen: the scan reconstruction costs more device time than the cumsum
+# integration, and near-ties should keep the cheaper decoder (margin
+# calibrated against the measured scan cost — DESIGN.md §2f).
+_LPC_MARGIN = 0.97
+
 
 def payload_len(order: int) -> int:
     """Residual samples per block: the first `order` samples ship verbatim."""
@@ -80,11 +95,22 @@ class PackedPCM:
     heads: np.ndarray  # (nb, order) int16 — per-block integration constants
     n_samples: int
     nb: int
-    order: int = 2  # fixed-predictor order shared by the whole piece
+    order: int = 2  # predictor order: fixed 1..3, or LPC_ORDER in lpc mode
+    # lpc mode only: per-block quantized predictor (nb, order) int16 and the
+    # per-block coefficient scale (nb,) int8 — absent (None) in fixed mode
+    coeffs: Optional[np.ndarray] = None
+    shifts: Optional[np.ndarray] = None
+
+    @property
+    def mode(self) -> str:
+        return "lpc" if self.coeffs is not None else "fixed"
 
     @property
     def packed_bytes(self) -> int:
-        return self.words.nbytes + self.heads.nbytes + sum(
+        extra = 0
+        if self.coeffs is not None:
+            extra = self.coeffs.nbytes + self.shifts.nbytes
+        return self.words.nbytes + self.heads.nbytes + extra + sum(
             g[3].nbytes for g in self.groups
         )
 
@@ -119,15 +145,7 @@ def _signed_widths(residuals: np.ndarray) -> np.ndarray:
 
 def choose_order_numpy(pcm: np.ndarray) -> int:
     """Cheapest fixed-predictor order by exact per-block signed widths."""
-    nb = len(pcm) // BLOCK
-    x = pcm[: nb * BLOCK].astype(np.int32).reshape(nb, BLOCK)
-    best_order, best_bits = 2, None
-    for order in _ORDERS:
-        need = _signed_widths(np.diff(x, n=order, axis=1))
-        bits = int((need * payload_len(order)).sum()) + 16 * order * nb
-        if best_bits is None or bits < best_bits:
-            best_order, best_bits = order, bits
-    return best_order
+    return _ORDERS[int(np.argmin(fixed_costs_numpy(pcm)))]
 
 
 def _native_pack(pcm: np.ndarray, order: int):
@@ -162,9 +180,18 @@ def _native_pack(pcm: np.ndarray, order: int):
 def pack_numpy(pcm: np.ndarray, order: int):
     """Pure-numpy reference packer (same wire format as the C++ one)."""
     nb = len(pcm) // BLOCK
-    pay = payload_len(order)
     x = pcm.astype(np.int32).reshape(nb, BLOCK)
     r = np.diff(x, n=order, axis=1)
+    heads = np.ascontiguousarray(x[:, :order].astype(np.int16))
+    words, total, counts, idx = _pack_from_residuals(r, order)
+    return words, total, counts, idx, heads
+
+
+def _pack_from_residuals(r: np.ndarray, order: int):
+    """Group residual rows by signed width and bit-pack (shared by the fixed
+    and LPC numpy packers; mirrors the C++ pack_core layout exactly)."""
+    nb = r.shape[0]
+    pay = payload_len(order)
     need = _signed_widths(r)
     ks = np.sort(_kset_arr)
     cls_sorted = ks[np.searchsorted(ks, need)]  # smallest KSET width >= need
@@ -188,7 +215,6 @@ def pack_numpy(pcm: np.ndarray, order: int):
     total = int(sum(counts[j] * words_per_block(KSET[j], order) for j in range(len(KSET))))
     words = np.zeros(total + 4, np.uint32)
     idx = np.empty(nb, np.int32)
-    heads = np.ascontiguousarray(x[:, :order].astype(np.int16))
 
     word_off = row_off = 0
     words64 = np.zeros(total + 4, np.uint64)
@@ -208,7 +234,184 @@ def pack_numpy(pcm: np.ndarray, order: int):
         word_off += len(rows) * wpb
         row_off += len(rows)
     words[:] = (words64 & 0xFFFFFFFF).astype(np.uint32)
+    return words, total, counts, idx
+
+
+# --------------------------------------------------------------------------
+# LPC analysis (numpy reference; fast path in native/bp_native.cpp)
+# --------------------------------------------------------------------------
+
+
+def _lpc_residuals(x_blocks: np.ndarray, coeffs: np.ndarray, shifts: np.ndarray) -> np.ndarray:
+    """Exact integer LPC residuals: r[n] = x[n] - ((sum_j c_j*x[n-j]) >> s).
+
+    Encoder prediction runs on the ORIGINAL samples; the decoder's recurrence
+    on reconstructed samples sees identical values because the codec is
+    lossless — so encode and decode agree bit-for-bit by construction.
+    """
+    p = coeffs.shape[1]
+    x64 = x_blocks.astype(np.int64)
+    acc = np.zeros((x_blocks.shape[0], BLOCK - p), np.int64)
+    for j in range(1, p + 1):
+        acc += coeffs[:, j - 1].astype(np.int64)[:, None] * x64[:, p - j : BLOCK - j]
+    pred = acc >> shifts.astype(np.int64)[:, None]  # arithmetic (floor) shift
+    return (x64[:, p:] - pred).astype(np.int32)
+
+
+def lpc_analyze_numpy(pcm: np.ndarray, p: int = LPC_ORDER):
+    """Per-block LPC analysis: (coeffs (nb,p) int16, shifts (nb,) int8, bits).
+
+    Autocorrelation + vectorized Levinson-Durbin per 256-sample block, then
+    quantization under the sum|c| <= 32767 int32-safety contract. Blocks
+    whose exact residual would exceed the 19-bit ladder cap fall back to an
+    order-1 predictor (c=[1,0,...], shift 0 -> residual = delta-x <= 17 bits).
+    `bits` is the exact payload cost + per-block header (16p heads + 16p
+    coeffs + 8 shift) for mode selection against the fixed-order costs.
+    """
+    nb = len(pcm) // BLOCK
+    x = pcm.astype(np.float64).reshape(nb, BLOCK)
+    xi = pcm.astype(np.int32).reshape(nb, BLOCK)
+    ac = np.empty((nb, p + 1))
+    for lag in range(p + 1):
+        ac[:, lag] = np.einsum("ij,ij->i", x[:, lag:], x[:, : BLOCK - lag])
+    ac[:, 0] = ac[:, 0] * (1.0 + 1e-10) + 1e-10  # ridge: never singular
+
+    # Levinson-Durbin over all blocks at once; a block that goes unstable
+    # (|reflection| >= 1, vanished error) freezes at its lower-order
+    # coefficients — any coefficients are VALID (the wire is self-describing)
+    a = np.zeros((nb, p))
+    err = ac[:, 0].copy()
+    alive = err > 0
+    safe_err = np.where(err > 0, err, 1.0)
+    for m in range(1, p + 1):
+        acc = ac[:, m].copy()
+        for j in range(1, m):
+            acc = acc - a[:, j - 1] * ac[:, m - j]
+        k = acc / safe_err
+        ok = alive & np.isfinite(k) & (np.abs(k) < 1.0)
+        k = np.where(ok, k, 0.0)
+        new_a = a.copy()
+        if m > 1:
+            new_a[:, : m - 1] = a[:, : m - 1] - k[:, None] * a[:, m - 2 :: -1]
+        new_a[:, m - 1] = k
+        a = np.where(ok[:, None], new_a, a)
+        err = np.where(ok, err * (1.0 - k * k), err)
+        alive = ok & (err > 0)
+        safe_err = np.where(err > 0, err, 1.0)
+
+    # quantize: largest shift <= _LPC_MAX_SHIFT with sum|c| <= 32767
+    asum = np.abs(a).sum(axis=1)
+    with np.errstate(divide="ignore"):
+        s = np.floor(np.log2(32767.0 / np.maximum(asum, 1e-300)))
+    s = np.clip(np.where(np.isfinite(s), s, _LPC_MAX_SHIFT), 0, _LPC_MAX_SHIFT)
+    s = s.astype(np.int64)
+
+    def quant(shift):
+        c = np.rint(a * np.power(2.0, shift)[:, None])
+        return np.clip(c, -32768, 32767).astype(np.int16)
+
+    c = quant(s)
+    for _ in range(_LPC_MAX_SHIFT + 1):
+        over = (np.abs(c.astype(np.int64)).sum(axis=1) > 32767) & (s > 0)
+        if not over.any():
+            break
+        s = np.where(over, s - 1, s)
+        c = np.where(over[:, None], quant(s), c)
+
+    fallback = np.zeros(p, np.int16)
+    fallback[0] = 1
+    bad = np.abs(c.astype(np.int64)).sum(axis=1) > 32767  # degenerate at s=0
+    if bad.any():
+        c[bad] = fallback
+        s[bad] = 0
+    r = _lpc_residuals(xi, c, s)
+    need = _signed_widths(r)
+    overcap = need > KSET[0]
+    if overcap.any():  # exceeds the ladder: order-1 inside the LPC frame
+        c[overcap] = fallback
+        s[overcap] = 0
+        r = _lpc_residuals(xi, c, s)
+        need = _signed_widths(r)
+    bits = int((need * (BLOCK - p)).sum()) + nb * (16 * p + 16 * p + 8)
+    return np.ascontiguousarray(c), s.astype(np.int8), bits
+
+
+def pack_numpy_lpc(pcm: np.ndarray, coeffs: np.ndarray, shifts: np.ndarray):
+    """Pure-numpy LPC packer (same wire format as native pack_pcm16_lpc)."""
+    p = coeffs.shape[1]
+    nb = len(pcm) // BLOCK
+    xi = pcm.astype(np.int32).reshape(nb, BLOCK)
+    r = _lpc_residuals(xi, coeffs, shifts)
+    heads = np.ascontiguousarray(xi[:, :p].astype(np.int16))
+    words, total, counts, idx = _pack_from_residuals(r, p)
     return words, total, counts, idx, heads
+
+
+def _native_lpc_analyze(pcm: np.ndarray, p: int = LPC_ORDER):
+    from basic_pitch_tpu import native
+
+    lib = native.load()
+    if lib is None or not hasattr(lib, "lpc_analyze_pcm16"):
+        return None
+    nb = len(pcm) // BLOCK
+    coeffs = np.empty((nb, p), np.int16)
+    shifts = np.empty(nb, np.int8)
+    bits = lib.lpc_analyze_pcm16(
+        native._as_ptr(pcm), ctypes.c_int64(len(pcm)), ctypes.c_int32(p),
+        native._as_ptr(coeffs), native._as_ptr(shifts),
+    )
+    if bits < 0:
+        return None
+    return coeffs, shifts, int(bits)
+
+
+def _native_lpc_pack(pcm: np.ndarray, coeffs: np.ndarray, shifts: np.ndarray):
+    from basic_pitch_tpu import native
+
+    lib = native.load()
+    if lib is None or not hasattr(lib, "pack_pcm16_lpc"):
+        return None
+    p = coeffs.shape[1]
+    nb = len(pcm) // BLOCK
+    cap = nb * words_per_block(KSET[0], p) + 4
+    words = np.empty(cap, np.uint32)
+    idx = np.empty(nb, np.int32)
+    heads = np.empty((nb, p), np.int16)
+    counts = np.empty(len(KSET), np.int64)
+    total = lib.pack_pcm16_lpc(
+        native._as_ptr(pcm), ctypes.c_int64(len(pcm)), ctypes.c_int32(p),
+        native._as_ptr(coeffs), native._as_ptr(shifts),
+        native._as_ptr(_kset_arr), ctypes.c_int32(len(KSET)),
+        native._as_ptr(words), ctypes.c_int64(cap),
+        native._as_ptr(idx), native._as_ptr(heads), native._as_ptr(counts),
+    )
+    if total < 0:
+        return None
+    return words, int(total), counts, idx, heads
+
+
+def _native_fixed_costs(pcm: np.ndarray) -> Optional[np.ndarray]:
+    from basic_pitch_tpu import native
+
+    lib = native.load()
+    if lib is None or not hasattr(lib, "residual_order_costs"):
+        return None
+    bits = np.empty(3, np.int64)
+    lib.residual_order_costs(
+        native._as_ptr(pcm), ctypes.c_int64(len(pcm)), native._as_ptr(bits)
+    )
+    return bits
+
+
+def fixed_costs_numpy(pcm: np.ndarray) -> np.ndarray:
+    """Exact per-order payload+head bit costs for the fixed predictors."""
+    nb = len(pcm) // BLOCK
+    x = pcm[: nb * BLOCK].astype(np.int32).reshape(nb, BLOCK)
+    bits = np.empty(3, np.int64)
+    for i, order in enumerate(_ORDERS):
+        need = _signed_widths(np.diff(x, n=order, axis=1))
+        bits[i] = int((need * payload_len(order)).sum()) + 16 * order * nb
+    return bits
 
 
 def _bucket(n: int) -> int:
@@ -235,17 +438,25 @@ def _quantize_words(n: int) -> int:
     return -(-n // quantum) * quantum
 
 
-def pack(pcm: np.ndarray, order: Optional[int] = None) -> PackedPCM:
+def pack(
+    pcm: np.ndarray, order: Optional[int] = None, mode: Optional[str] = None
+) -> PackedPCM:
     """int16 PCM -> PackedPCM (native packer when available, numpy otherwise).
 
-    Input length is padded up to a whole number of blocks with zeros. The
-    fixed-predictor order (1..3) is chosen per piece by exact payload cost
-    when not given — FLAC-style order selection, one order per piece so the
-    device integration program stays uniform.
+    Input length is padded up to a whole number of blocks with zeros. With
+    everything defaulted, the predictor is chosen per piece by exact packed
+    bit cost: the cheapest FLAC-style fixed order (1..3), or per-block LPC
+    (``mode="lpc"``) when it beats the best fixed order by >= the
+    scan-decode margin (_LPC_MARGIN). Passing ``order`` pins a fixed order
+    (the pre-LPC behavior, unchanged); passing ``mode`` pins the mode.
     """
     assert pcm.dtype == np.int16 and pcm.ndim == 1
     if order is not None and order not in _ORDERS:
         raise ValueError(f"order must be one of {_ORDERS}, got {order}")
+    if mode not in (None, "fixed", "lpc"):
+        raise ValueError(f"mode must be None|'fixed'|'lpc', got {mode!r}")
+    if order is not None and mode == "lpc":
+        raise ValueError("order pins a FIXED predictor; do not combine with mode='lpc'")
     n = len(pcm)
     nb = -(-n // BLOCK)
     if nb * BLOCK != n:
@@ -254,14 +465,34 @@ def pack(pcm: np.ndarray, order: Optional[int] = None) -> PackedPCM:
         pcm = padded
     pcm = np.ascontiguousarray(pcm)
 
-    if order is None:
-        order = _native_choose_order(pcm)
-        if order is None:
-            order = choose_order_numpy(pcm)
+    analysis = None
+    if order is not None:
+        mode = "fixed"
+    elif mode == "lpc" or mode is None:
+        analysis = _native_lpc_analyze(pcm)
+        if analysis is None:
+            analysis = lpc_analyze_numpy(pcm)
+        if mode is None:
+            fixed_bits = _native_fixed_costs(pcm)
+            if fixed_bits is None:
+                fixed_bits = fixed_costs_numpy(pcm)
+            mode = "lpc" if analysis[2] < _LPC_MARGIN * int(fixed_bits.min()) else "fixed"
 
-    packed = _native_pack(pcm, order)
-    if packed is None:
-        packed = pack_numpy(pcm, order)
+    coeffs = shifts = None
+    if mode == "lpc":
+        coeffs, shifts, _ = analysis
+        packed = _native_lpc_pack(pcm, coeffs, shifts)
+        if packed is None:
+            packed = pack_numpy_lpc(pcm, coeffs, shifts)
+        order = LPC_ORDER
+    else:
+        if order is None:
+            order = _native_choose_order(pcm)
+            if order is None:
+                order = choose_order_numpy(pcm)
+        packed = _native_pack(pcm, order)
+        if packed is None:
+            packed = pack_numpy(pcm, order)
     words, total, counts, idx, heads = packed
 
     groups: List[Tuple[int, int, int, np.ndarray]] = []
@@ -282,7 +513,7 @@ def pack(pcm: np.ndarray, order: Optional[int] = None) -> PackedPCM:
     needed = _quantize_words(needed)
     if needed > len(words):
         words = np.concatenate([words, np.zeros(needed - len(words), np.uint32)])
-    return PackedPCM(words[:needed], groups, heads, n, nb, order)
+    return PackedPCM(words[:needed], groups, heads, n, nb, order, coeffs, shifts)
 
 
 # --------------------------------------------------------------------------
@@ -374,6 +605,45 @@ def _finish_fn(nb: int, n_out: int, order: int):
         return x.reshape(-1)[:n_out].astype(jnp.float32) * (1.0 / 32768.0)
 
     # no donation: the f32 output cannot alias the int32 residual buffer
+    fn = jax.jit(run)
+    _jit_cache[key] = fn
+    return fn
+
+
+def _finish_lpc_fn(nb: int, n_out: int, p: int):
+    """(buf, heads, coeffs, shifts) -> float32 samples via the LPC recurrence.
+
+    x[n] = r[n] + ((sum_j c_j * x[n-j]) >> s), a per-block int32 linear
+    recurrence on RECONSTRUCTED samples — sequential in n (a lax.scan of
+    BLOCK-p steps), parallel across the nb blocks (the scan state is p
+    (nb,)-vectors). The quantizer's sum|c| <= 32767 contract bounds every
+    partial accumulator under 2^30, so int32 arithmetic is exact; the scan
+    reproduces the encoder's original-sample predictions bit-for-bit
+    because reconstruction is lossless.
+    """
+    key = ("finish_lpc", nb, n_out, p)
+    if key in _jit_cache:
+        return _jit_cache[key]
+
+    def run(buf, heads, coeffs, shifts):
+        r = buf[:nb]  # (nb, pay) int32 residuals
+        h = heads.astype(jnp.int32)  # (nb, p) first samples, oldest first
+        c = coeffs.astype(jnp.int32)  # c[:, j-1] multiplies x[n-j]
+        s = shifts.astype(jnp.int32)
+        c_cols = [c[:, j] for j in range(p)]
+        state0 = tuple(h[:, j] for j in range(p))  # x[n-p] .. x[n-1]
+
+        def step(state, rcol):
+            acc = c_cols[0] * state[p - 1]
+            for j in range(1, p):
+                acc = acc + c_cols[j] * state[p - 1 - j]
+            x = rcol + lax.shift_right_arithmetic(acc, s)
+            return state[1:] + (x,), x
+
+        _, xs = lax.scan(step, state0, r.T)  # xs: (pay, nb)
+        x = jnp.concatenate([h, xs.T], axis=1)
+        return x.reshape(-1)[:n_out].astype(jnp.float32) * (1.0 / 32768.0)
+
     fn = jax.jit(run)
     _jit_cache[key] = fn
     return fn
