@@ -393,11 +393,20 @@ static int32_t quantize_lpc(const double* a, int32_t p, int16_t* c_out) {
     return 0;
 }
 
+// Arithmetic (floor) right shift with defined semantics on every pre-C++20
+// toolchain: >> on a negative signed value is implementation-defined there,
+// and the device decoder uses lax.shift_right_arithmetic — encoder and
+// decoder must agree exactly. ~((~v) >> s) == floor(v / 2^s) for v < 0,
+// using >> only on non-negative operands (always well-defined).
+static inline int64_t ashr64(int64_t v, int32_t s) {
+    return v < 0 ? ~((~v) >> s) : v >> s;
+}
+
 static inline int32_t lpc_residual(const int16_t* blk, int64_t i,
                                    const int16_t* c, int32_t p, int32_t s) {
     int64_t acc = 0;
     for (int32_t j = 1; j <= p; ++j) acc += (int64_t)c[j - 1] * blk[i - j];
-    return (int32_t)blk[i] - (int32_t)(acc >> s);  // arithmetic shift (gcc)
+    return (int32_t)blk[i] - (int32_t)ashr64(acc, s);
 }
 
 static int32_t lpc_block_width(const int16_t* blk, const int16_t* c, int32_t p,

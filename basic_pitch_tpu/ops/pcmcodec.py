@@ -511,6 +511,10 @@ def pack(
         word_off += rows * words_per_block(k, order)
         row_off += rows
     needed = _quantize_words(needed)
+    # the native packers allocate with np.empty: zero the slack between the
+    # real payload and the quantized/over-read length so the wire is
+    # deterministic (no uninitialized heap bytes shipped to a server)
+    words[total : min(needed, len(words))] = 0
     if needed > len(words):
         words = np.concatenate([words, np.zeros(needed - len(words), np.uint32)])
     return PackedPCM(words[:needed], groups, heads, n, nb, order, coeffs, shifts)
@@ -668,6 +672,10 @@ def decode_to_device(
     for k, word_off, n_rows, idx in packed.groups:
         fn = _unpack_scatter_fn(k, len(idx), packed.order)
         buf = fn(buf, words, put(np.int32(word_off)), put(idx))
+    if packed.mode == "lpc":
+        coeffs = put(packed.coeffs)
+        shifts = put(packed.shifts)
+        return _finish_lpc_fn(packed.nb, n_out, packed.order)(buf, heads, coeffs, shifts)
     return _finish_fn(packed.nb, n_out, packed.order)(buf, heads)
 
 
