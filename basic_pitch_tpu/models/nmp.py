@@ -106,6 +106,155 @@ def _conv2d(
     return y + b
 
 
+# HBM guard for the im2col lowering: patches tensors above this element
+# count would pressure the v5e's 16 GiB (the contour_conv's k=936 patches
+# at 192-window chunks would be 32.6 GiB); such convs fall back to the
+# plain lowering instead of OOMing the chunk pipeline.
+_IM2COL_MAX_PATCH_ELEMS = 800_000_000
+
+
+def _conv2d_im2col(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: jnp.ndarray,
+    strides: Tuple[int, int] = (1, 1),
+    precision=None,
+) -> jnp.ndarray:
+    """SAME conv2d expressed as im2col patches -> one dot_general.
+
+    The layout experiment of VERDICT r4 #2: the six head convs have tiny
+    channel counts (8/32 vs the MXU's 128 lanes), so this reformulation
+    hands XLA a single (B*H*W, kh*kw*cin) x (kh*kw*cin, cout) matmul
+    instead of a convolution, letting the compiler pick matmul tiling.
+    Same math as `_conv2d` (identical contraction terms; reduction order
+    may differ in the last bits). Convs whose materialized patches would
+    exceed `_IM2COL_MAX_PATCH_ELEMS` (the big stride-1 heads at production
+    chunk sizes) fall back to the plain lowering — im2col materializes
+    k-times the activation and cannot afford k=936 at (192, 172, 264).
+    """
+    kh, kw, cin, cout = w.shape
+    bsz, h, wdt, _ = x.shape
+    ho = -(-h // strides[0])
+    wo = -(-wdt // strides[1])
+    if bsz * ho * wo * (kh * kw * cin) > _IM2COL_MAX_PATCH_ELEMS:
+        return _conv2d(x, w, b, strides, precision)
+    patches = jax.lax.conv_general_dilated_patches(
+        x,
+        (kh, kw),
+        strides,
+        "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )  # (..., cin*kh*kw) with channel-major ordering (cin slowest)
+    bsz, ho, wo, k = patches.shape
+    wmat = jnp.transpose(w, (2, 0, 1, 3)).reshape(kh * kw * cin, cout)
+    y = jax.lax.dot_general(
+        patches.reshape(bsz * ho * wo, k),
+        wmat,
+        (((1,), (0,)), ((), ())),
+        precision=precision,
+    )
+    return y.reshape(bsz, ho, wo, cout) + b
+
+
+def _conv2d_toeplitz(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: jnp.ndarray,
+    strides: Tuple[int, int] = (1, 1),
+    precision=None,
+    fb: Optional[int] = None,
+) -> jnp.ndarray:
+    """SAME conv2d as a frequency-blocked block-Toeplitz matmul.
+
+    The CQT's matmul-first pattern (ops/cqt.py) applied to a head conv:
+    a block of `fb` frequency bins moves from the matmul M dimension into
+    N, so the MXU sees (B*T*nblocks, kh*(fb+kw-1)*cin) x (..., fb*cout) —
+    contraction and output dims are MXU-scale instead of cout=8 wasting
+    120 of 128 lanes. Costs (fb+kw-1)/kw more FLOPs (the band's zeros are
+    multiplied): fb trades lane fill against zero-FLOP inflation — full-F
+    (fb=264) inflates 7.7x, fb=24 only 1.6x at N=192. The sweep lives in
+    tools/layout_ab.py. Stride-1 only (the strided head convs shrink N by
+    the stride, making the inflation unprofitable — DESIGN §2d).
+    """
+    assert strides == (1, 1), "toeplitz path is stride-1 only"
+    kh, kw, cin, cout = w.shape
+    bsz, t, f, _ = x.shape
+    if fb is None or fb >= f:
+        fb = f
+    assert f % fb == 0, f"block size {fb} must divide the frequency axis {f}"
+    nb = f // fb
+    pt0 = (kh - 1) // 2
+    pf0 = (kw - 1) // 2
+    xp = jnp.pad(x, ((0, 0), (pt0, kh - 1 - pt0), (pf0, kw - 1 - pf0), (0, 0)))
+    fslab = fb + kw - 1
+    cols = fslab * cin
+    # banded per-block weight: row fo of the block holds w at columns
+    # [fo*cin, fo*cin + kw*cin) — translation-invariant, so ONE wmat serves
+    # every block. Built with the pad+reshape Toeplitz trick: flatten
+    # (fb, cols+cin) rows so each successive row lands cin columns later,
+    # then trim; row fb-1 ends exactly at cols.
+    blocks = w.reshape(kh, kw * cin, cout)
+    wrows = jnp.zeros((kh, fb, cols + cin, cout), x.dtype)
+    wrows = wrows.at[:, :, : kw * cin, :].set(blocks[:, None, :, :])
+    wmat = wrows.reshape(kh, fb * (cols + cin), cout)[:, : fb * cols, :]
+    wmat = wmat.reshape(kh, fb, cols, cout)
+    # (kh, cols, fb, cout) -> (kh*cols, fb*cout)
+    wmat = jnp.transpose(wmat, (0, 2, 1, 3)).reshape(kh * cols, fb * cout)
+    # Input rows: kh time taps and the nb overlapping frequency slabs
+    # (halo kw-1), assembled ONLY through rank-3 tensors whose minor dim is
+    # the K axis — a (B,T,nb,kh,fslab,cin) stack would put cin=8 minormost
+    # and TPU tiling would pad it 8->128 (a measured 16x HBM blow-up).
+    xf = xp.reshape(bsz, t + kh - 1, (f + kw - 1) * cin)
+    rows = jnp.concatenate(
+        [
+            jnp.concatenate(
+                [xf[:, dt : dt + t, j * fb * cin : j * fb * cin + cols] for dt in range(kh)],
+                axis=-1,
+            )
+            for j in range(nb)
+        ],
+        axis=1,
+    )  # (B, nb*T, kh*cols), block-major
+    y = jax.lax.dot_general(
+        rows.reshape(bsz * nb * t, kh * cols),
+        wmat,
+        (((1,), (0,)), ((), ())),
+        precision=precision,
+    )
+    y = y.reshape(bsz, nb, t, fb, cout)
+    y = jnp.transpose(y, (0, 2, 1, 3, 4)).reshape(bsz, t, f, cout)
+    return y + b
+
+
+def _resolve_conv_impl(conv_impl: str):
+    """conv_impl -> (generic head conv fn, contour_conv fn).
+
+    "conv"          — lax.conv_general_dilated everywhere (baseline).
+    "im2col"        — patches + dot_general for every head conv whose
+                      patches fit `_IM2COL_MAX_PATCH_ELEMS` (the strided
+                      note/onset convs at production chunks); the rest
+                      fall back to the plain lowering.
+    "toeplitz[:fb]" — frequency-blocked Toeplitz matmul for the dominant
+                      contour_conv (70% of head FLOPs, stride 1), plain
+                      conv for the rest. Optional `:fb` sets the frequency
+                      block size (divisor of 264; default 24, the measured
+                      sweet spot of the inflation/lane-fill trade).
+    "mxu[:fb]"      — both: Toeplitz contour_conv + im2col elsewhere.
+    """
+    name, _, arg = conv_impl.partition(":")
+    if arg and name not in ("toeplitz", "mxu"):
+        raise ValueError(f"conv_impl {name!r} takes no :arg (got {conv_impl!r})")
+    if name == "conv":
+        return _conv2d, _conv2d
+    if name == "im2col":
+        return _conv2d_im2col, _conv2d_im2col
+    if name in ("toeplitz", "mxu"):
+        fb = int(arg) if arg else 24
+        toe = functools.partial(_conv2d_toeplitz, fb=fb)
+        return (_conv2d_im2col if name == "mxu" else _conv2d), toe
+    raise ValueError(f"conv_impl must be conv|im2col|toeplitz[:fb]|mxu[:fb], got {conv_impl!r}")
+
+
 def _batch_norm(
     x: jnp.ndarray,
     bn: Params,
@@ -203,6 +352,7 @@ def forward(
     train: bool = False,
     precision=jax.lax.Precision.HIGHEST,
     head_precision=None,
+    conv_impl: str = "conv",
 ) -> Tuple[Dict[str, jnp.ndarray], Dict[str, Any]]:
     """Full NMP forward pass.
 
@@ -218,6 +368,9 @@ def forward(
             which carry ~60% of the model's device time at well-conditioned
             post-BN activations (measured, tools/precision_ab.json). None
             means "same as precision".
+        conv_impl: head-conv lowering — "conv" (lax conv), "im2col"
+            (patches + dot_general), or "toeplitz" (block-Toeplitz matmul
+            for the contour conv); measured in tools/layout_ab.py.
 
     Returns:
         ({"onset": (b,t,88), "contour": (b,t,264), "note": (b,t,88)}, bn_stats)
@@ -225,14 +378,15 @@ def forward(
     x, bn_stats = frontend(params, audio, config, train, precision)
     stats: Dict[str, Any] = dict(bn_stats)
     hp = precision if head_precision is None else head_precision
+    conv, conv_contour = _resolve_conv_impl(conv_impl)
 
     # --- contour head ---
-    c = _conv2d(x, params["contour_conv"]["w"], params["contour_conv"]["b"], precision=hp)
+    c = conv_contour(x, params["contour_conv"]["w"], params["contour_conv"]["b"], precision=hp)
     c, stats["bn_contour"] = _batch_norm(c, params["bn_contour"], train)
     c = jax.nn.relu(c)
 
     if not config.no_contours:
-        c = _conv2d(c, params["contour_out"]["w"], params["contour_out"]["b"], precision=hp)
+        c = conv(c, params["contour_out"]["w"], params["contour_out"]["b"], precision=hp)
         c = jax.nn.sigmoid(c)
         contour = c.reshape(c.shape[0], c.shape[1], -1)  # (b, t, 264)
         note_in = contour[..., None]  # reduced contours feed the note head
@@ -241,24 +395,24 @@ def forward(
         note_in = c
 
     # --- note head ---
-    n = _conv2d(
+    n = conv(
         note_in, params["note_conv"]["w"], params["note_conv"]["b"], strides=(1, 3), precision=hp
     )
     n = jax.nn.relu(n)
     n_pre = jax.nn.sigmoid(
-        _conv2d(n, params["note_out"]["w"], params["note_out"]["b"], precision=hp)
+        conv(n, params["note_out"]["w"], params["note_out"]["b"], precision=hp)
     )  # (b, t, 88, 1)
     note = n_pre.reshape(n_pre.shape[0], n_pre.shape[1], -1)
 
     # --- onset head ---
-    o = _conv2d(
+    o = conv(
         x, params["onset_conv"]["w"], params["onset_conv"]["b"], strides=(1, 3), precision=hp
     )
     o, stats["bn_onset"] = _batch_norm(o, params["bn_onset"], train)
     o = jax.nn.relu(o)
     o = jnp.concatenate([n_pre, o], axis=-1)  # note-pre first, then onset stack
     o = jax.nn.sigmoid(
-        _conv2d(o, params["onset_out"]["w"], params["onset_out"]["b"], precision=hp)
+        conv(o, params["onset_out"]["w"], params["onset_out"]["b"], precision=hp)
     )
     onset = o.reshape(o.shape[0], o.shape[1], -1)
 
@@ -271,11 +425,12 @@ def predict_fn(
     config: ModelConfig = DEFAULT_CONFIG,
     precision=jax.lax.Precision.HIGHEST,
     head_precision=None,
+    conv_impl: str = "conv",
 ) -> Dict[str, jnp.ndarray]:
     """Inference-only forward (no BN stats)."""
     out, _ = forward(
         params, audio, config, train=False, precision=precision,
-        head_precision=head_precision,
+        head_precision=head_precision, conv_impl=conv_impl,
     )
     return out
 

@@ -87,6 +87,10 @@ class StreamingTranscriber:
             convs only (the CQT front-end keeps ``precision``). The heads
             carry ~60% of model device time; see tools/precision_ab.json
             for the measured speed/parity trade before changing this.
+        conv_impl: head-conv lowering — "conv" (lax conv, baseline),
+            "im2col" (patches + one dot_general per conv), or "toeplitz"
+            (block-Toeplitz matmul for the contour conv). Measured in
+            tools/layout_ab.py; see docs/DESIGN.md §2d.
         mesh: optional Mesh with a "data" axis to shard the window batch.
         decode_backend: "auto" (default — probe both decoders once per
             process at init and pick the measured winner; see
@@ -112,10 +116,12 @@ class StreamingTranscriber:
         windows_per_chunk: int = 128,
         precision=jax.lax.Precision.HIGHEST,
         head_precision=None,
+        conv_impl: str = "conv",
         mesh: Optional[jax.sharding.Mesh] = None,
         decode_backend: str = "auto",
         pcm_transport: str = "codec",
         transport_ttl_s: float = 120.0,
+        compute_group: int = 2,
     ):
         from basic_pitch_tpu.utils import runtime
 
@@ -128,8 +134,17 @@ class StreamingTranscriber:
         self.w = windows_per_chunk
         self.precision = precision
         self.head_precision = head_precision
+        self.conv_impl = conv_impl
         self.mesh = mesh
         self.chunk_len = HOP * self.w + OVERLAP  # samples @22.05k per chunk
+        # compute aggregation: ONE model program consumes this many uploaded
+        # pieces (windows concatenated into a k*w batch, outputs split back
+        # per chunk). Upload granularity is untouched, so the link still
+        # pipelines at w windows while the MXU sees k*w batches — measured
+        # 1.24x on the model stage at k=2 (tools/dispatch_ab.json; k=4
+        # measured WORSE, 1.20x). Mesh dispatches stay ungrouped (the
+        # sharded window axis already fills devices).
+        self.compute_group = 1 if mesh is not None else max(1, int(compute_group))
 
         if mesh is not None:
             assert self.w % mesh.devices.size == 0, (
@@ -167,6 +182,7 @@ class StreamingTranscriber:
         self._chunk_fn_22k = self._build(chunk_is_44k=False)
         self._chunk_fn_44k = self._build(chunk_is_44k=True)
         self._piece_cache = {}
+        self._group_cache = {}
         # worker threads for the GIL-releasing C++ packer (see _dispatch);
         # the transport probe models codec throughput with this same
         # parallelism, so the count lives in ops/transport.PACK_WORKERS
@@ -215,12 +231,13 @@ class StreamingTranscriber:
 
         precision = self.precision
         head_precision = self.head_precision
+        conv_impl = self.conv_impl
         config = self.config
 
         def finish(params, windows, w):
             out = nmp.predict_fn(
                 params, windows, config, precision=precision,
-                head_precision=head_precision,
+                head_precision=head_precision, conv_impl=conv_impl,
             )
             out = {
                 k: v[:, TRIM : v.shape[1] - TRIM, :].reshape(
@@ -278,6 +295,67 @@ class StreamingTranscriber:
                 out_shardings=out_spec,
             )
         self._piece_cache[(is_44k, keep_contour)] = fn
+        return fn
+
+    def _group_fn(self, is_44k: bool, keep_contour: bool = False, k: int = 2):
+        """Jitted chunk program over k uploaded pieces at once.
+
+        The k pieces' windows concatenate into ONE (k*w, WINDOW) model
+        batch — the MXU batch efficiency of a k*w chunk without giving up
+        the w-window upload granularity the link pipelining needs (the
+        chunk-size sweep showed w=384 is 18% faster device-only but ~27%
+        slower end-to-end when it is also the upload unit, DESIGN §2e).
+        Outputs split back inside the program into the same per-chunk dicts
+        `_piece_fn` emits, so decode/fetch are untouched. Measured: 1.24x
+        model stage at k=2 (tools/dispatch_ab.json). Non-mesh only — the
+        sharded path's window axis already spans the mesh.
+        """
+        assert self.mesh is None, "compute grouping is a single-device optimization"
+        assert k >= 2, "use _piece_fn for single pieces"
+        key = (is_44k, keep_contour, k)
+        if key in self._group_cache:
+            return self._group_cache[key]
+
+        from basic_pitch_tpu.decode import device as device_decode
+
+        precision = self.precision
+        head_precision = self.head_precision
+        conv_impl = self.conv_impl
+        config = self.config
+        w = self.w
+        frames = w * FRAMES_PER_WINDOW
+
+        def run(params, *dev_pieces):
+            parts = []
+            for piece in dev_pieces:
+                if piece.dtype == jnp.int16:
+                    piece = piece.astype(jnp.float32) * (1.0 / 32768.0)
+                if is_44k:
+                    piece = resample_ops.decimate2(
+                        piece, precision=precision, halo=True, n_out=self.chunk_len
+                    )
+                parts.append(_unfold_windows(piece, w))
+            windows = jnp.concatenate(parts)  # (k*w, WINDOW)
+            out = nmp.predict_fn(
+                params, windows, config, precision=precision,
+                head_precision=head_precision, conv_impl=conv_impl,
+            )
+            out = {
+                kk: v[:, TRIM : v.shape[1] - TRIM, :].reshape(
+                    k * frames, v.shape[2]
+                )
+                for kk, v in out.items()
+            }
+            chunks = []
+            for i in range(k):
+                sl = {kk: v[i * frames : (i + 1) * frames] for kk, v in out.items()}
+                contour = sl["contour"] if keep_contour else sl.pop("contour")
+                sl["bends"] = device_decode.bend_matrix(contour)
+                chunks.append(sl)
+            return tuple(chunks)
+
+        fn = jax.jit(run)
+        self._group_cache[key] = fn
         return fn
 
     def _decode_fused_fn(self, include_bends: bool, max_notes: int, infer_onsets: bool, melodia_trick: bool, n_chunks: int):
@@ -509,6 +587,7 @@ class StreamingTranscriber:
     def _build(self, chunk_is_44k: bool):
         precision = self.precision
         head_precision = self.head_precision
+        conv_impl = self.conv_impl
         config = self.config
         slice_len = 2 * self.chunk_len + 2 * _DEC_HALO if chunk_is_44k else self.chunk_len
 
@@ -525,7 +604,7 @@ class StreamingTranscriber:
             windows = _unfold_windows(chunk, self.w)  # (W, WINDOW), reshapes only
             out = nmp.predict_fn(
                 params, windows, config, precision=precision,
-                head_precision=head_precision,
+                head_precision=head_precision, conv_impl=conv_impl,
             )
             # overlap trim + fold windows into the time axis
             return {
@@ -707,6 +786,22 @@ class StreamingTranscriber:
                     for piece in pieces
                 ]
         raw_outs = []
+        # compute grouping: every `compute_group` uploads feed ONE model
+        # program (k*w-window batch, per-chunk outputs split inside it) —
+        # uploads keep pipelining at w-window granularity (_group_fn)
+        group_k = self.compute_group
+        pending: list = []
+
+        def flush_group():
+            if not pending:
+                return
+            if len(pending) == 1:
+                raw_outs.append(piece_fn(self.params, pending[0]))
+            else:
+                gfn = self._group_fn(is_44k, keep_outputs, len(pending))
+                raw_outs.extend(gfn(self.params, *pending))
+            pending.clear()
+
         for i, piece in enumerate(pieces):
             if use_codec:
                 packed = packed_futures[i]
@@ -718,7 +813,10 @@ class StreamingTranscriber:
                 )
             else:
                 dev_piece = self._upload_piece(piece)
-            raw_outs.append(piece_fn(self.params, dev_piece))
+            pending.append(dev_piece)
+            if len(pending) >= group_k:
+                flush_group()
+        flush_group()
         # decode consumes exactly {note, onset, bends}; when the contour was
         # kept for save_model_outputs it rides the ticket, not the decode fn
         # (whose pytree cache key must stay format-independent)
