@@ -196,3 +196,27 @@ def test_chunk_size_is_semantically_transparent():
         assert len(events_by_w[w]) == len(base)
         for a, b in zip(base, events_by_w[w]):
             assert a[2] == b[2] and abs(a[0] - b[0]) < 1e-9 and abs(a[1] - b[1]) < 1e-9
+
+
+@needs_clip
+def test_compute_grouping_is_semantically_transparent():
+    """compute_group is a pure dispatch-aggregation choice: events are
+    identical whether each chunk runs alone or k chunks share one model
+    program (tools/dispatch_ab.json measures the 1.24x; this pins the
+    exactness contract). Odd chunk counts exercise the remainder path."""
+    samples, sr = audio_io.read_wav(VOCADITO)
+    y = audio_io.to_mono(samples)
+    events_by_k = {
+        k: sorted(
+            pipeline.StreamingTranscriber(
+                windows_per_chunk=2, compute_group=k
+            ).transcribe(y, sr)
+        )
+        for k in (1, 2, 3)
+    }
+    base = events_by_k[1]
+    assert len(base) > 0
+    for k in (2, 3):
+        assert len(events_by_k[k]) == len(base)
+        for a, b in zip(base, events_by_k[k]):
+            assert a[2] == b[2] and abs(a[0] - b[0]) < 1e-9 and abs(a[1] - b[1]) < 1e-9
