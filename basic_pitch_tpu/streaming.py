@@ -60,12 +60,18 @@ _TRIM_GUARD_S = 0.5  # context kept behind the oldest pending onset
 # the window edge, registered a frame or two in (measured ~0.023 s); the
 # clamped key accepts onsets up to this far past the cut
 _CLAMP_MATCH_S = 0.25
-# flushes an un-matched pending note survives before being dropped: one
-# flush of grace so a momentary amplitude dip at the window edge (the
-# decode briefly not reporting the note) doesn't lose the whole note —
-# next flush it re-matches its carried record instead of being discarded
-# as an onset-before-the-finalized-horizon artifact
-_PENDING_GRACE_FLUSHES = 1
+# flushes an un-matched pending note survives before being force-emitted:
+# grace so a momentary amplitude dip at the window edge (the decode briefly
+# not reporting the note) doesn't end the note early — next flush it
+# re-matches its carried record. The grace is a TIME budget (seconds),
+# converted to flushes per session, so aggressive short segments get the
+# same real-time grace as the default setting (the round-4 worst case was
+# segment 1 s / lookahead 0.5 s on real vocals: 19 notes dropped after a
+# single 1 s grace flush — STREAM_PARITY.json).
+_PENDING_GRACE_S = 2.0
+# a pending note that exhausts its grace is EMITTED with its last observed
+# end (the decode that created it saw a real note; silently losing it cost
+# recall) — `stats["pending_force_emitted"]` keeps the failure observable.
 
 
 @dataclasses.dataclass
@@ -75,12 +81,17 @@ class _PendingNote:
     ``match_onset_s`` is where the note appears in the CURRENT window
     (clamped to the trim cut when the window slid past its onset);
     ``orig_onset_s`` is what finally gets emitted. ``misses`` counts
-    consecutive flushes whose decode did not report the note.
+    consecutive flushes whose decode did not report the note. ``end_s`` /
+    ``amplitude`` / ``bends`` snapshot the note's most recent sighting so
+    an exhausted-grace note can still be emitted instead of lost.
     """
 
     match_onset_s: float
     pitch: int
     orig_onset_s: float
+    end_s: float
+    amplitude: float
+    bends: Optional[list]
     clamped: bool = False
     misses: int = 0
 
@@ -142,6 +153,10 @@ class StreamingSession:
         self.max_context_seconds = float(max_context_seconds)
         self.dedup_tolerance_s = float(dedup_tolerance_s)
         self.decode_params = decode_params
+        # grace is a time budget: short segments flush more often, so they
+        # get proportionally more grace FLUSHES before a pending note is
+        # force-emitted (see _PENDING_GRACE_S)
+        self._grace_flushes = max(1, int(np.ceil(_PENDING_GRACE_S / self.segment_seconds)))
 
         self._buf: List[np.ndarray] = []
         self._buf_start = 0  # absolute sample index of the buffer head
@@ -159,9 +174,14 @@ class StreamingSession:
             "flushes": 0,
             "decoded_audio_s": 0.0,
             "events": 0,
-            # pending notes dropped because no decode reported them for
-            # _PENDING_GRACE_FLUSHES+1 consecutive flushes — nonzero means
-            # note tails were lost at a window edge (observable failure)
+            # pending notes no decode re-reported within the grace budget,
+            # emitted with their last observed end instead of lost —
+            # nonzero means the live path emitted from a stale sighting
+            # (observable imprecision, no longer a lost note)
+            "pending_force_emitted": 0,
+            # force-emit candidates whose last sighting had no usable end
+            # (defensive: pendings are created from decoded events, so this
+            # should stay 0)
             "pending_dropped": 0,
         }
 
@@ -279,20 +299,29 @@ class StreamingSession:
                 self._emitted_keys.append((onset, pitch))
             else:
                 new_pending.append(
-                    _PendingNote(onset, pitch, orig_onset, clamped=False)
+                    _PendingNote(onset, pitch, orig_onset, offset, amplitude, bends)
                 )
 
         # pending notes no event claimed: the decode momentarily failed to
         # report them (e.g. an amplitude dip at the window edge). Carry them
-        # for a grace flush so the note isn't silently lost; after that,
-        # drop and count — the failure stays observable in self.stats.
-        if not final:
-            for rec in unmatched:
-                if rec.misses < _PENDING_GRACE_FLUSHES:
-                    rec.misses += 1
-                    new_pending.append(rec)
-                else:
-                    self.stats["pending_dropped"] += 1
+        # within the grace budget so the note isn't silently lost; once
+        # exhausted (or at the final flush), EMIT the note with its last
+        # observed end — the decode that created the record saw a real note,
+        # and losing it entirely was the round-4 aggressive-setting recall
+        # hole (STREAM_PARITY worst case). The force-emit stays observable
+        # in self.stats.
+        for rec in unmatched:
+            if not final and rec.misses < self._grace_flushes:
+                rec.misses += 1
+                new_pending.append(rec)
+            elif rec.end_s > rec.orig_onset_s:
+                out.append(
+                    (rec.orig_onset_s, rec.end_s, rec.pitch, rec.amplitude, rec.bends)
+                )
+                self._emitted_keys.append((rec.match_onset_s, rec.pitch))
+                self.stats["pending_force_emitted"] += 1
+            else:
+                self.stats["pending_dropped"] += 1
 
         self._pending = new_pending
         self._finalized_s = max(self._finalized_s, emit_before)

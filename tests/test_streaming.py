@@ -284,3 +284,88 @@ def test_streaming_at_44k(transcriber):
         live.extend(session.feed(audio[i : i + block]))
     tail = session.close()
     assert_same_events(live + tail, offline)
+
+
+# ---------------------------------------------------------------------------
+# force-emit of grace-exhausted pending notes (round 5 — the round-4
+# aggressive-setting recall hole: STREAM_PARITY worst case dropped 19 notes)
+# ---------------------------------------------------------------------------
+
+
+class _ScriptedTranscribe:
+    """transcribe_fn stub: returns the scripted event list per flush."""
+
+    def __init__(self, script):
+        self.script = list(script)
+        self.calls = 0
+
+    def __call__(self, audio, sample_rate, **kw):
+        events = self.script[min(self.calls, len(self.script) - 1)]
+        self.calls += 1
+        return list(events)
+
+
+def _session(script, **kw):
+    return StreamingSession(
+        transcriber=None,
+        transcribe_fn=_ScriptedTranscribe(script),
+        **kw,
+    )
+
+
+def test_pending_note_force_emitted_not_lost():
+    """A note the decode reported once and never again survives grace
+    exhaustion as an EVENT (with its last observed end), not a loss."""
+    # flush 1 sees a note ending beyond the lookahead horizon -> pending;
+    # later flushes never report it again
+    note = (0.5, 1.9, 60, 0.8, None)
+    session = _session([[note], [], [], [], []], segment_seconds=2.0,
+                       lookahead_seconds=1.0)
+    out = []
+    block = np.zeros(int(0.5 * SR), np.float32)
+    for _ in range(16):  # 8 s -> 4 flushes
+        out.extend(session.feed(block))
+    out.extend(session.close())
+    assert session.stats["pending_dropped"] == 0
+    assert session.stats["pending_force_emitted"] == 1
+    forced = [e for e in out if e[2] == 60]
+    assert len(forced) == 1
+    start, end, pitch, amp, _ = forced[0]
+    assert abs(start - 0.5) < 1e-6 and abs(end - 1.9) < 1e-6 and amp == 0.8
+
+
+def test_pending_note_force_emitted_at_close():
+    """Un-reclaimed pendings at the final flush are emitted, not dropped."""
+    note = (0.5, 1.9, 64, 0.7, None)
+    session = _session([[note], []], segment_seconds=2.0, lookahead_seconds=1.0)
+    out = []
+    out.extend(session.feed(np.zeros(int(2.0 * SR), np.float32)))
+    out.extend(session.close())
+    assert [e[2] for e in out] == [64]
+    assert session.stats["pending_force_emitted"] == 1
+
+
+def test_grace_budget_scales_with_segment_length():
+    """Grace is a TIME budget: 1 s segments get 2 grace flushes (2 s), the
+    2 s default gets 1 — short segments no longer lose notes faster."""
+    s_short = _session([[]], segment_seconds=1.0)
+    s_default = _session([[]], segment_seconds=2.0)
+    s_long = _session([[]], segment_seconds=4.0)
+    assert s_short._grace_flushes == 2
+    assert s_default._grace_flushes == 1
+    assert s_long._grace_flushes == 1
+
+
+def test_regained_note_not_duplicated_after_force_emit():
+    """If the decode re-reports a note AFTER its force-emit, the emitted-key
+    dedup suppresses the duplicate."""
+    note = (0.5, 1.9, 60, 0.8, None)
+    late = (0.5, 2.2, 60, 0.8, None)  # same note, re-seen much later
+    session = _session([[note], [], [], [late], [late]], segment_seconds=2.0,
+                       lookahead_seconds=1.0)
+    out = []
+    block = np.zeros(int(1.0 * SR), np.float32)
+    for _ in range(10):
+        out.extend(session.feed(block))
+    out.extend(session.close())
+    assert [e[2] for e in out] == [60]

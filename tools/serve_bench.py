@@ -256,6 +256,8 @@ def main() -> None:
     ap.add_argument("--streams", type=int, default=4,
                     help="concurrent real-time live streams in the latency phase")
     ap.add_argument("--stream-clip-seconds", type=float, default=20.0)
+    ap.add_argument("--live-attempts", type=int, default=5,
+                    help="live-stream attempts (min 5 — reported as a distribution)")
     ap.add_argument("--out", default=str(REPO / "SERVE_BENCH.json"))
     ns = ap.parse_args()
 
@@ -375,11 +377,12 @@ def main() -> None:
                 for pcm in stream_pcms
             ]:
                 f.result()
-        # best-of-N, like every timed metric here: the tunnel's RPC latency
-        # is bimodal between minutes (DESIGN §5), and a congested-tunnel
-        # attempt measures the weather, not the server
+        # a DISTRIBUTION of attempts (VERDICT r4 weak #7): n>=5 attempts
+        # regardless of how healthy the first looks, reported as p50/p95
+        # across attempts like the overload block — a best-of-1 "best" is
+        # not a statistic under bimodal tunnel RPC latency (DESIGN §5)
         attempts = []
-        for attempt in range(3):
+        for attempt in range(max(5, ns.live_attempts)):
             m_before = get_json(base, "/metrics")
             t0 = time.monotonic()
             with ThreadPoolExecutor(max_workers=n_streams) as pool:
@@ -404,24 +407,29 @@ def main() -> None:
                 }
             )
             print(f"[serve_bench] live attempt {attempt + 1}: {attempts[-1]}")
-            if attempts[-1]["event_latency_p50_s"] is not None and attempts[-1][
-                "event_latency_p50_s"
-            ] < 4.0:
-                break  # healthy-link attempt recorded; no need for more
-        best_live = min(
+        p50s = [a["event_latency_p50_s"] for a in attempts if a["event_latency_p50_s"] is not None]
+        p95s = [a["event_latency_p95_s"] for a in attempts if a["event_latency_p95_s"] is not None]
+        median_live = sorted(
             attempts, key=lambda a: a["event_latency_p50_s"] or float("inf")
-        )
+        )[len(attempts) // 2]
         live = {
             "streams": n_streams,
             "clip_seconds": stream_secs,
             "segment_seconds": 2.0,
             "lookahead_seconds": 1.0,
-            **best_live,
+            **median_live,
+            "n_attempts": len(attempts),
             "attempts_p50_s": [a["event_latency_p50_s"] for a in attempts],
+            "across_attempts": {
+                "p50_of_p50s_s": pct(p50s, 50) if p50s else None,
+                "p95_of_p50s_s": pct(p50s, 95) if p50s else None,
+                "p50_of_p95s_s": pct(p95s, 50) if p95s else None,
+            },
             "note": (
                 "real-time-paced feeds; latency = note end -> event at client "
                 "(floor = lookahead + decode cadence + pipeline trip); "
-                "best-of-attempts under tunnel-weather variance"
+                "headline row is the MEDIAN attempt, with the across-attempt "
+                "distribution recorded"
             ),
         }
         print(f"[serve_bench] live streams: {live}")

@@ -95,6 +95,7 @@ def run_setting(transcriber, audio: np.ndarray, seg: float, look: float, ctx: fl
         "streamed_events": len(est),
         "matched": onset_only["n_matched"],
         "pending_dropped": session.stats["pending_dropped"],
+        "pending_force_emitted": session.stats["pending_force_emitted"],
         "flushes": session.stats["flushes"],
     }
 
