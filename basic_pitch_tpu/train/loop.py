@@ -330,6 +330,48 @@ def _update_bn_stats(params, batch_stats, momentum: float):
     return new_params
 
 
+def train_step_body(
+    params,
+    opt_state,
+    batch: Batch,
+    optimizer: optax.GradientTransformation,
+    config: TrainConfig,
+    model_config: nmp.ModelConfig = nmp.DEFAULT_CONFIG,
+):
+    """One train step as a pure traceable function.
+
+    Shared by `build_train_step` (one dispatch per step) and
+    `build_multi_step` (a `lax.scan` of steps inside one executable, which
+    amortizes the fixed per-dispatch latency — ~29 ms on the tunneled
+    runtime, tools/dispatch_overhead.json)."""
+    batch = materialize_batch(batch)
+
+    def loss_fn(p):
+        outputs, batch_stats = nmp.forward(
+            p, batch["audio"], model_config, train=True
+        )
+        total, per_head = losses.total_loss(
+            outputs,
+            batch["targets"],
+            batch.get("weights"),
+            label_smoothing=config.label_smoothing,
+            weighted_onset=config.weighted_onset_loss,
+            positive_weight=config.positive_onset_weight,
+            no_contours=model_config.no_contours,
+        )
+        return total, (per_head, batch_stats)
+
+    (total, (per_head, batch_stats)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True
+    )(params)
+    updates, opt_state = optimizer.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    params = nmp.apply_unit_norm_constraint(params)
+    params = _update_bn_stats(params, batch_stats, config.bn_momentum)
+    metrics = {"loss": total, **{f"loss_{k}": v for k, v in per_head.items()}}
+    return params, opt_state, metrics
+
+
 def build_train_step(
     optimizer: optax.GradientTransformation,
     config: TrainConfig,
@@ -348,32 +390,7 @@ def build_train_step(
     runtime.enable_compilation_cache()
 
     def step(params, opt_state, batch):
-        batch = materialize_batch(batch)
-
-        def loss_fn(p):
-            outputs, batch_stats = nmp.forward(
-                p, batch["audio"], model_config, train=True
-            )
-            total, per_head = losses.total_loss(
-                outputs,
-                batch["targets"],
-                batch.get("weights"),
-                label_smoothing=config.label_smoothing,
-                weighted_onset=config.weighted_onset_loss,
-                positive_weight=config.positive_onset_weight,
-                no_contours=model_config.no_contours,
-            )
-            return total, (per_head, batch_stats)
-
-        (total, (per_head, batch_stats)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(params)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        params = nmp.apply_unit_norm_constraint(params)
-        params = _update_bn_stats(params, batch_stats, config.bn_momentum)
-        metrics = {"loss": total, **{f"loss_{k}": v for k, v in per_head.items()}}
-        return params, opt_state, metrics
+        return train_step_body(params, opt_state, batch, optimizer, config, model_config)
 
     if mesh is None:
         return jax.jit(step, donate_argnums=(0, 1))

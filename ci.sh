@@ -42,6 +42,9 @@ else
 fi
 ls dist/*.whl
 
+echo "== wheel manifest (check-manifest analogue, tox.ini:58-64) =="
+python tools/check_wheel_manifest.py dist/*.whl
+
 echo "== installed-CLI smoke =="
 # install the wheel into an isolated prefix (deps come from the running
 # environment, so this works offline) and run the console scripts from it
