@@ -46,6 +46,7 @@ def main(
     num_processes: int = 1,
     process_id: int = 0,
     parse_workers: int = 2,
+    steps_per_dispatch: int = 1,
 ) -> None:
     """Build datasets, model, and callbacks, then run the fit loop."""
     if num_processes > 1:
@@ -83,6 +84,12 @@ def main(
         shard_index=process_id,
         parse_workers=parse_workers,
     )
+    if steps_per_dispatch > 1:
+        if num_processes > 1:
+            raise ValueError("--steps-per-dispatch is single-process (multi-host feeds per-step batches)")
+        # scan k optimizer steps inside ONE device program: amortizes the
+        # fixed per-dispatch latency and merges k uploads into one transfer
+        train_iter = train_loop.grouped_batches(train_iter, steps_per_dispatch)
 
     timestamp = datetime.now(timezone.utc).strftime("%Y%m%d-%H%M")
     run_dir = pathlib.Path(output) / timestamp
@@ -196,6 +203,9 @@ def console_entry_point() -> None:
     parser.add_argument("--parse-workers", type=int, default=2,
                         help="loader record-parse threads (order-preserving; "
                              "deterministic for a fixed seed)")
+    parser.add_argument("--steps-per-dispatch", type=int, default=1,
+                        help="optimizer steps scanned inside one device program "
+                             "(amortizes per-dispatch latency; single-process only)")
     args = parser.parse_args()
 
     datasets_flagged = [
@@ -233,6 +243,7 @@ def console_entry_point() -> None:
         args.num_processes,
         args.process_id,
         args.parse_workers,
+        args.steps_per_dispatch,
     )
 
 

@@ -39,6 +39,17 @@ def shard_batch(mesh: Mesh, tree):
     return jax.device_put(tree, batch_sharded(mesh))
 
 
+def stacked_batch_sharded(mesh: Mesh, axis: str = DATA_AXIS) -> NamedSharding:
+    """Sharding for a `train_loop.stack_batches` group: axis 0 is the step
+    axis (scanned sequentially, unsharded), axis 1 the batch axis."""
+    return NamedSharding(mesh, PartitionSpec(None, axis))
+
+
+def shard_stacked_batch(mesh: Mesh, tree):
+    """Place a stacked k-step batch with each micro-batch mesh-sharded."""
+    return jax.device_put(tree, stacked_batch_sharded(mesh))
+
+
 def replicate(mesh: Mesh, tree):
     """Place a pytree of arrays fully replicated on the mesh."""
     return jax.device_put(tree, replicated(mesh))

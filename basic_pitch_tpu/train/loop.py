@@ -99,16 +99,16 @@ def _trim_sparse_for_wire(batch: Batch) -> Batch:
     trimmed = {}
     for head, sp in batch["targets_sparse"].items():
         idx, val = sp["idx"], sp["val"]
-        cap = idx.shape[1]
+        cap = idx.shape[-1]
         sentinel = constants.ANNOT_N_FRAMES * _HEAD_BINS[head]
-        nnz_max = int((idx != sentinel).sum(axis=1).max()) if cap else 0
+        nnz_max = int((idx != sentinel).sum(axis=-1).max()) if cap else 0
         bucket = _WIRE_MIN_BUCKET
         while bucket < nnz_max:
             bucket *= 2
         if bucket < cap:
             trimmed[head] = {
-                "idx": np.ascontiguousarray(idx[:, :bucket]),
-                "val": np.ascontiguousarray(val[:, :bucket]),
+                "idx": np.ascontiguousarray(idx[..., :bucket]),
+                "val": np.ascontiguousarray(val[..., :bucket]),
                 "cap": cap,
             }
         else:
@@ -168,10 +168,11 @@ def _pad_sparse_fn(cap: int, sentinel: int):
     shape on device (sentinel idx rows are scatter-dropped, zero vals)."""
 
     def run(idx, val):
-        extra = cap - idx.shape[1]
+        extra = cap - idx.shape[-1]
+        pad = [(0, 0)] * (idx.ndim - 1) + [(0, extra)]
         return (
-            jnp.pad(idx, ((0, 0), (0, extra)), constant_values=sentinel),
-            jnp.pad(val, ((0, 0), (0, extra))),
+            jnp.pad(idx, pad, constant_values=sentinel),
+            jnp.pad(val, pad),
         )
 
     return jax.jit(run)
@@ -206,8 +207,8 @@ def upload_batch(batch: Batch) -> Tuple[Batch, int]:
         for head, sp in trimmed.items():
             idx_dev, val_dev = jax.device_put((sp["idx"], sp["val"]))
             nbytes += sp["idx"].nbytes + sp["val"].nbytes
-            cap = sp.get("cap", sp["idx"].shape[1])
-            if cap > sp["idx"].shape[1]:
+            cap = sp.get("cap", sp["idx"].shape[-1])
+            if cap > sp["idx"].shape[-1]:
                 sentinel = constants.ANNOT_N_FRAMES * _HEAD_BINS[head]
                 idx_dev, val_dev = _pad_sparse_fn(cap, sentinel)(idx_dev, val_dev)
             heads[head] = {"idx": idx_dev, "val": val_dev}
@@ -407,6 +408,111 @@ def build_train_step(
     )
 
 
+def stack_batches(batches: Sequence[Batch]) -> Batch:
+    """Stack k loader batches leaf-wise on a NEW leading axis (host numpy).
+
+    The result feeds `build_multi_step`, which scans the k steps inside ONE
+    executable — on a dispatch-latency-bound runtime this amortizes the
+    fixed ~23 ms per-execute cost (tools/dispatch_overhead.json) and merges
+    k uploads into one transfer. Sparse heads may be wire-trimmed to
+    different pow2 buckets; they are re-padded to the group max here (the
+    sentinel rows are scatter-dropped, so materialization is unchanged).
+    Audio must still be raw (pack AFTER stacking: `pack_batch_audio` flattens
+    whatever shape it gets)."""
+    if any("audio_packed" in b for b in batches):
+        raise ValueError("stack before pack_batch_audio, not after")
+    first = batches[0]
+    out: Batch = {"audio": np.stack([b["audio"] for b in batches])}
+    if "targets" in first:
+        out["targets"] = {
+            k: np.stack([b["targets"][k] for b in batches]) for k in first["targets"]
+        }
+    if "targets_sparse" in first:
+        heads = {}
+        for head in first["targets_sparse"]:
+            sps = [b["targets_sparse"][head] for b in batches]
+            bucket = max(sp["idx"].shape[-1] for sp in sps)
+            cap = max(sp.get("cap", sp["idx"].shape[-1]) for sp in sps)
+            sentinel = constants.ANNOT_N_FRAMES * _HEAD_BINS[head]
+            idx = np.stack([
+                np.pad(sp["idx"], ((0, 0), (0, bucket - sp["idx"].shape[-1])),
+                       constant_values=sentinel)
+                for sp in sps
+            ])
+            val = np.stack([
+                np.pad(sp["val"], ((0, 0), (0, bucket - sp["val"].shape[-1])))
+                for sp in sps
+            ])
+            heads[head] = (
+                {"idx": idx, "val": val, "cap": cap} if cap > bucket
+                else {"idx": idx, "val": val}
+            )
+        out["targets_sparse"] = heads
+    if "weights" in first:
+        out["weights"] = {
+            k: np.stack([b["weights"][k] for b in batches]) for k in first["weights"]
+        }
+    return out
+
+
+def grouped_batches(batches: Iterator[Batch], k: int) -> Iterator[Batch]:
+    """Group a loader batch stream into stacked k-step batches for
+    `build_multi_step`. Compose as: loader -> grouped_batches(k) ->
+    packed_batches -> fit(...)."""
+    group: list = []
+    for batch in batches:
+        group.append(batch)
+        if len(group) == k:
+            yield stack_batches(group)
+            group = []
+
+
+def is_stacked(batch: Batch) -> bool:
+    """True for a `stack_batches` result (leading step axis on every leaf)."""
+    if "audio_packed" in batch:
+        return len(batch["audio_packed"][1]) == 3
+    audio = batch.get("audio")
+    return audio is not None and audio.ndim == 3
+
+
+def build_multi_step(
+    optimizer: optax.GradientTransformation,
+    config: TrainConfig,
+    model_config: nmp.ModelConfig = nmp.DEFAULT_CONFIG,
+    mesh: Optional[jax.sharding.Mesh] = None,
+) -> Callable:
+    """Jitted (params, opt_state, stacked_batch) -> (params, opt_state, metrics):
+    `lax.scan` of `train_step_body` over the leading step axis — semantically
+    identical to k sequential `build_train_step` calls (tests/test_train.py),
+    but ONE dispatch and ONE upload for the whole group. Metrics leaves come
+    back with the (k,) step axis. With a mesh, each micro-batch is sharded on
+    its batch axis (axis 1 of the stacked leaves) and parameters replicated."""
+    from basic_pitch_tpu.utils import runtime
+
+    runtime.enable_compilation_cache()
+
+    def run(params, opt_state, batches):
+        def body(carry, batch):
+            p, o = carry
+            p, o, metrics = train_step_body(p, o, batch, optimizer, config, model_config)
+            return (p, o), metrics
+
+        (params, opt_state), metrics = jax.lax.scan(body, (params, opt_state), batches)
+        return params, opt_state, metrics
+
+    if mesh is None:
+        return jax.jit(run, donate_argnums=(0, 1))
+
+    stacked_sharding = mesh_lib.stacked_batch_sharded(mesh)
+    rep = mesh_lib.replicated(mesh)
+    return jax.jit(
+        run,
+        in_shardings=(rep, rep, stacked_sharding),
+        out_shardings=(rep, rep, rep),
+        donate_argnums=(0, 1),
+    )
+
+
 def build_eval_step(
     config: TrainConfig,
     model_config: nmp.ModelConfig = nmp.DEFAULT_CONFIG,
@@ -565,6 +671,7 @@ def fit(
         opt_state = mesh_lib.replicate(mesh, opt_state)
 
     train_step = build_train_step(optimizer, config, model_config, mesh)
+    multi_step = None  # built lazily on the first stacked batch
     eval_step = build_eval_step(config, model_config, mesh)
     # host copy: the live `params` buffers are donated by the first train_step,
     # and on resume the best checkpoint (if any) beats the latest one
@@ -577,17 +684,39 @@ def fit(
     for epoch in range(start_epoch, config.epochs):
         t0 = time.time()
         train_metrics = []
-        for _ in range(config.steps_per_epoch):
+        steps_done = 0
+        while steps_done < config.steps_per_epoch:
             batch = next(train_iter)
+            stacked = is_stacked(batch)
             if multiproc:  # train batches arrive as this host's local slice
+                if stacked:
+                    raise NotImplementedError(
+                        "stacked (grouped_batches) training is single-process; "
+                        "multi-host runs feed per-step batches"
+                    )
                 batch = dist.global_batch(mesh, batch)
             elif mesh is not None:
-                batch = mesh_lib.shard_batch(mesh, batch)
+                if needs_upload(batch):
+                    batch, _ = upload_batch(batch)
+                batch = (
+                    mesh_lib.shard_stacked_batch(mesh, batch) if stacked
+                    else mesh_lib.shard_batch(mesh, batch)
+                )
             elif needs_upload(batch):
                 # wire-form batch from `packed_batches` (codec audio and/or
                 # trimmed sparse targets): reconstruct in HBM before the step
                 batch, _ = upload_batch(batch)
-            params, opt_state, metrics = train_step(params, opt_state, batch)
+            if stacked:
+                # a grouped_batches stream: scan all k steps in ONE dispatch
+                # (fixed per-execute latency is ~23 ms on tunneled runtimes,
+                # tools/dispatch_overhead.json)
+                if multi_step is None:
+                    multi_step = build_multi_step(optimizer, config, model_config, mesh)
+                params, opt_state, metrics = multi_step(params, opt_state, batch)
+                steps_done += int(next(iter(jax.tree.leaves(metrics))).shape[0])
+            else:
+                params, opt_state, metrics = train_step(params, opt_state, batch)
+                steps_done += 1
             train_metrics.append(metrics)
         val_metrics = []
         for _ in range(config.validation_steps):
@@ -600,7 +729,13 @@ def fit(
                 batch, _ = upload_batch(batch)
             val_metrics.append(eval_step(params, batch))
 
-        train_loss = float(np.mean([m["loss"] for m in jax.device_get(train_metrics)]))
+        train_loss = float(
+            np.mean(
+                np.concatenate(
+                    [np.atleast_1d(m["loss"]) for m in jax.device_get(train_metrics)]
+                )
+            )
+        )
         val_loss = float(np.mean([m["loss"] for m in jax.device_get(val_metrics)]))
         log(
             f"epoch {epoch}: train_loss={train_loss:.4f} val_loss={val_loss:.4f} "

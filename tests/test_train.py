@@ -460,3 +460,137 @@ def test_train_step_sparse_equals_dense():
         p_dense,
         p_sparse,
     )
+
+
+# ---------------------------------------------------------------------------
+# multi-step (scan-fused) training program — dispatch amortization
+# (tools/dispatch_overhead.json: ~23 ms fixed per-execute on the tunneled
+# runtime; one program per k steps makes it ~23/k ms)
+# ---------------------------------------------------------------------------
+
+
+def test_multi_step_equals_sequential_steps():
+    """build_multi_step(stack_batches([b1..bk])) must produce the same
+    params/opt_state/metrics as k sequential build_train_step calls."""
+    import optax
+
+    rng = np.random.RandomState(0)
+    batches = [_random_batch(rng, batch_size=2) for _ in range(3)]
+    config = train_loop.TrainConfig(learning_rate=1e-3)
+    # SGD for the bit-level check: adam's m/(sqrt(v)+eps) amplifies fp32
+    # fusion-order noise to lr-scale param differences, which says nothing
+    # about program equivalence. The production (adam) path is covered by
+    # the loss-trajectory match in test_multi_step_sparse_wire_roundtrip.
+    optimizer = optax.inject_hyperparams(optax.sgd)(learning_rate=config.learning_rate)
+    params = jax.device_get(nmp.init_params(jax.random.PRNGKey(1)))
+    opt_state = jax.device_get(optimizer.init(params))
+
+    clone = lambda tree: jax.tree.map(jnp.array, tree)  # donation-safe copies
+    p_seq, o_seq = clone(params), clone(opt_state)
+    step = train_loop.build_train_step(optimizer, config)
+    seq_losses = []
+    for b in batches:
+        p_seq, o_seq, m = step(p_seq, o_seq, b)
+        seq_losses.append(float(m["loss"]))
+
+    stacked = train_loop.stack_batches(batches)
+    assert train_loop.is_stacked(stacked)
+    multi = train_loop.build_multi_step(optimizer, config)
+    p_multi, o_multi, metrics = multi(clone(params), clone(opt_state), stacked)
+
+    np.testing.assert_allclose(np.asarray(metrics["loss"]), seq_losses, rtol=1e-6)
+    for (path_a, a), (path_b, b) in zip(
+        jax.tree_util.tree_flatten_with_path(jax.device_get(p_seq))[0][:],
+        jax.tree_util.tree_flatten_with_path(jax.device_get(p_multi))[0][:],
+    ):
+        assert path_a == path_b
+        # scan-fused and per-step executables fuse differently; fp32
+        # reduction reassociation (BN batch means over ~30k elements) bounds
+        # the leaf divergence while the per-step losses match at rtol 1e-6
+        np.testing.assert_allclose(a, b, rtol=0, atol=2e-5, err_msg=str(path_a))
+
+
+def test_multi_step_sparse_wire_roundtrip():
+    """Stacked wire-form batches (trimmed sparse + packed audio) upload and
+    scan to the same result as per-batch dense steps."""
+    from basic_pitch_tpu.data import loader
+
+    rng = np.random.RandomState(3)
+    batches_dense, batches_sparse = [], []
+    for i in range(2):
+        windows = _annotation_like_windows(rng, n=2)
+        batches_dense.append(loader._collate(windows))
+        batches_sparse.append(loader._collate_device(windows))
+
+    config = train_loop.TrainConfig()
+    optimizer = train_loop.make_optimizer(config)
+    params = jax.device_get(nmp.init_params(jax.random.PRNGKey(2)))
+    opt_state = jax.device_get(optimizer.init(params))
+
+    clone = lambda tree: jax.tree.map(jnp.array, tree)
+    step = train_loop.build_train_step(optimizer, config)
+    p_seq, o_seq = clone(params), clone(opt_state)
+    seq_losses = []
+    for b in batches_dense:
+        p_seq, o_seq, m = step(p_seq, o_seq, b)
+        seq_losses.append(float(m["loss"]))
+
+    stacked = train_loop.stack_batches(batches_sparse)
+    wire = train_loop.pack_batch_audio(stacked, pcm_transport="codec")
+    dev, nbytes = train_loop.upload_batch(wire)
+    assert nbytes > 0
+    multi = train_loop.build_multi_step(optimizer, config)
+    _p, _o, metrics = multi(clone(params), clone(opt_state), dev)
+    np.testing.assert_allclose(np.asarray(metrics["loss"]), seq_losses, rtol=1e-6)
+
+
+def test_grouped_batches_stacks_k():
+    rng = np.random.RandomState(1)
+    stream = iter([_random_batch(rng) for _ in range(5)])
+    groups = list(train_loop.grouped_batches(stream, 2))
+    assert len(groups) == 2  # trailing partial group is dropped (infinite streams in practice)
+    assert groups[0]["audio"].shape[0] == 2
+
+
+def test_multi_step_sharded_over_mesh():
+    """The stacked program shards each micro-batch over the data axis."""
+    from basic_pitch_tpu.parallel import mesh as mesh_lib
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    mesh = mesh_lib.make_mesh()
+    rng = np.random.RandomState(5)
+    batches = [_random_batch(rng, batch_size=8) for _ in range(2)]
+    config = train_loop.TrainConfig()
+    optimizer = train_loop.make_optimizer(config)
+    params = mesh_lib.replicate(mesh, nmp.init_params(jax.random.PRNGKey(0)))
+    opt_state = mesh_lib.replicate(mesh, optimizer.init(jax.device_get(params)))
+
+    stacked = train_loop.stack_batches(batches)
+    multi = train_loop.build_multi_step(optimizer, config, mesh=mesh)
+    p, o, metrics = multi(params, opt_state, stacked)
+    assert np.asarray(metrics["loss"]).shape == (2,)
+    assert np.isfinite(np.asarray(metrics["loss"])).all()
+
+
+def test_fit_with_grouped_batches(tmp_path):
+    """fit consumes a grouped_batches stream: k steps per dispatch, epoch
+    step accounting intact, checkpoints written."""
+    rng = np.random.RandomState(7)
+
+    def iterator():
+        while True:
+            yield _random_batch(rng)
+
+    config = train_loop.TrainConfig(
+        epochs=2, steps_per_epoch=4, validation_steps=1, learning_rate=1e-3
+    )
+    train_loop.fit(
+        train_loop.grouped_batches(iterator(), 2),
+        iterator(),
+        tmp_path,
+        config=config,
+        log=lambda *_: None,
+    )
+    assert (tmp_path / "model.best.npz").exists()
+    assert (tmp_path / "checkpoints" / "model.01.npz").exists()
