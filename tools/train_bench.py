@@ -68,7 +68,8 @@ def build_corpus_and_shards(workdir: pathlib.Path, n_tracks: int, seconds: float
 
 def timed_training(shards, steps: int, batch_size: int, learning_rate: float,
                    warmup_steps: int = 10, shuffle: int = 100, sync_every: int = 50,
-                   device_targets: bool = False, pcm_transport: str = "auto"):
+                   device_targets: bool = False, pcm_transport: str = "auto",
+                   steps_per_dispatch: int = 1):
     """Train with the production loader + jitted step; time both sides.
 
     Steps are ENQUEUED asynchronously (dispatch pipelining — the production
@@ -89,13 +90,24 @@ def timed_training(shards, steps: int, batch_size: int, learning_rate: float,
         str(shards), shuffle, batch_size, 2, ["guitarset"], [1.0], seed=0,
         device_targets=device_targets, parse_workers=4,
     )
+    k = max(1, steps_per_dispatch)
+    if k > 1:
+        # scan k optimizer steps inside one program: ONE dispatch + ONE
+        # upload per group (tools/dispatch_overhead.json: ~23 ms/dispatch)
+        train_iter = train_loop.grouped_batches(train_iter, k)
     if device_targets:
         train_iter = train_loop.packed_batches(train_iter, pcm_transport)
     config = train_loop.TrainConfig(learning_rate=learning_rate)
     optimizer = train_loop.make_optimizer(config)
     params = nmp.init_params(jax.random.PRNGKey(0))
     opt_state = optimizer.init(params)
-    step = train_loop.build_train_step(optimizer, config)
+    step = (
+        train_loop.build_multi_step(optimizer, config) if k > 1
+        else train_loop.build_train_step(optimizer, config)
+    )
+
+    def last_loss(metrics):
+        return metrics["loss"][-1] if k > 1 else metrics["loss"]
 
     losses = []
     first_loss = None
@@ -105,7 +117,10 @@ def timed_training(shards, steps: int, batch_size: int, learning_rate: float,
     sync_latency_ms = None
     steady_t0 = None
     steady_steps = 0
-    for i in range(steps):
+    n_dispatches = max(1, steps // k)
+    warmup_dispatch = max(1, warmup_steps // k)
+    sync_dispatches = max(1, sync_every // k)
+    for i in range(n_dispatches):
         t0 = time.time()
         batch = next(train_iter)
         t_loader = time.time() - t0
@@ -116,18 +131,18 @@ def timed_training(shards, steps: int, batch_size: int, learning_rate: float,
 
         params, opt_state, metrics = step(params, opt_state, batch)
 
-        if i == 0 or i == steps - 1 or (i + 1) % sync_every == 0:
-            loss = float(jax.device_get(metrics["loss"]))
+        if i == 0 or i == n_dispatches - 1 or (i + 1) % sync_dispatches == 0:
+            loss = float(jax.device_get(last_loss(metrics)))
             if first_loss is None:
                 first_loss = loss
             losses.append(round(loss, 4))
-        if i == warmup_steps:
+        if i == warmup_dispatch:
             # one loss fetch (full sync), then start the steady-state clock;
             # also record the fully-synchronous single-step latency once
             t0 = time.time()
             params, opt_state, metrics = step(params, opt_state, batch)
-            float(jax.device_get(metrics["loss"]))
-            sync_latency_ms = (time.time() - t0) * 1e3
+            float(jax.device_get(last_loss(metrics)))
+            sync_latency_ms = (time.time() - t0) * 1e3 / k
             steady_t0 = time.time()
             loader_block_s = 0.0
             upload_s = 0.0
@@ -136,8 +151,8 @@ def timed_training(shards, steps: int, batch_size: int, learning_rate: float,
             loader_block_s += t_loader
             upload_s += t_upload
             upload_bytes += nbytes
-            steady_steps += 1
-    float(jax.device_get(metrics["loss"]))
+            steady_steps += k
+    float(jax.device_get(last_loss(metrics)))
     steady_wall = time.time() - steady_t0 if steady_t0 is not None else 0.0
 
     amortized_ms = steady_wall / max(steady_steps, 1) * 1e3
@@ -145,6 +160,7 @@ def timed_training(shards, steps: int, batch_size: int, learning_rate: float,
     stats = {
         "steps": steps,
         "batch_size": batch_size,
+        "steps_per_dispatch": k,
         "learning_rate": learning_rate,
         "step_time_ms_amortized": round(amortized_ms, 2),
         "step_latency_ms_synchronous": round(sync_latency_ms or 0.0, 2),
@@ -182,7 +198,8 @@ def step_anatomy(shards, batch_size: int, k: int = 16):
         str(shards), 0, batch_size, 2, ["guitarset"], [1.0], seed=0,
         device_targets=True,
     )
-    batch, _ = train_loop.upload_batch(next(train_iter))
+    batch_host = next(train_iter)
+    batch, _ = train_loop.upload_batch(batch_host)
     config = train_loop.TrainConfig()
     optimizer = train_loop.make_optimizer(config)
     params = nmp.init_params(jax.random.PRNGKey(0))
@@ -215,21 +232,43 @@ def step_anatomy(shards, batch_size: int, k: int = 16):
     fwd_ms = min(timed(run_eval) for _ in range(3)) / k
     fwdbwd_ms = min(timed(run_train) for _ in range(3)) / k
 
+    # scan-fused step: k real optimizer steps inside ONE executable — the
+    # honest device compute, with the ~23 ms/dispatch runtime latency
+    # amortized away (tools/dispatch_overhead.json). Params change every
+    # iteration, so nothing is loop-invariant-hoisted.
+    multi = train_loop.build_multi_step(optimizer, config)
+    stacked, _ = train_loop.upload_batch(
+        train_loop.stack_batches([batch_host] * k)
+    )
+    p2, o2, ms = multi(params, opt_state, stacked)
+    float(jax.device_get(ms["loss"][-1]))  # warm
+
+    def run_scan():
+        nonlocal p2, o2
+        p2, o2, ms = multi(p2, o2, stacked)
+        float(jax.device_get(ms["loss"][-1]))
+
+    fwdbwd_scan_ms = min(timed(run_scan) for _ in range(3)) / k
+
     train_flops = batch_size * flops_mod.train_step_flops_per_window()
     mfu = flops_mod.mfu_report(
-        train_flops, fwdbwd_ms / 1e3, jax.devices()[0].device_kind
+        train_flops, fwdbwd_scan_ms / 1e3, jax.devices()[0].device_kind
     )
     return {
         "batch_size": batch_size,
         "k_steps": k,
         "fwd_ms": round(fwd_ms, 2),
         "fwd_bwd_ms": round(fwdbwd_ms, 2),
+        "fwd_bwd_scan_ms": round(fwdbwd_scan_ms, 2),
+        "dispatch_overhead_ms": round(fwdbwd_ms - fwdbwd_scan_ms, 2),
         "bwd_over_fwd": round(fwdbwd_ms / max(fwd_ms, 1e-9) - 1.0, 2),
         "train_step_gflops": round(train_flops / 1e9, 1),
         **mfu,
         "note": (
-            "device-only step time, one HBM-resident batch, device_get-"
-            "forced over k chained steps"
+            "fwd/fwd_bwd: device_get-forced over k CHAINED dispatches (each "
+            "pays the runtime's fixed per-execute latency); fwd_bwd_scan: the "
+            "same k steps scan-fused into one executable — the honest device "
+            "compute. MFU is computed from the scan number."
         ),
     }
 
@@ -290,6 +329,9 @@ def main(argv=None) -> dict:
     ap.add_argument("--lr", type=float, default=1e-3, help="batch-16 learning rate")
     ap.add_argument("--sweep", default="16,128",
                     help="comma list of extra batch sizes for short sweep runs ('' skips)")
+    ap.add_argument("--steps-per-dispatch", type=int, default=8,
+                    help="optimizer steps scanned per device program in the "
+                    "throughput arms (1 = the r4 per-step dispatch behavior)")
     ap.add_argument("--no-baseline-f1", dest="baseline_f1", action="store_false",
                     help="skip the same-corpus batch-16 convergence comparator")
     ap.add_argument("--workdir", default=None, help="reuse a directory (default: temp)")
@@ -323,6 +365,7 @@ def main(argv=None) -> dict:
     params, train_stats = timed_training(
         shards, steps_for(args.batch_size), args.batch_size,
         lr_for(args.batch_size), device_targets=True,
+        steps_per_dispatch=args.steps_per_dispatch,
     )
     print(f"training (batch {args.batch_size}): {train_stats}")
 
@@ -330,12 +373,13 @@ def main(argv=None) -> dict:
     sweep_stats = []
     for bs in [int(b) for b in args.sweep.split(",") if b]:
         _, s = timed_training(
-            shards, steps_for(bs, 4), bs, lr_for(bs), device_targets=True
+            shards, steps_for(bs, 4), bs, lr_for(bs), device_targets=True,
+            steps_per_dispatch=args.steps_per_dispatch,
         )
         print(f"sweep batch {bs}: {s}")
         sweep_stats.append(
             {k: s[k] for k in (
-                "batch_size", "learning_rate", "steps",
+                "batch_size", "steps_per_dispatch", "learning_rate", "steps",
                 "step_time_ms_amortized", "windows_per_s",
                 "loader_feed_margin", "upload_ms_per_step",
                 "upload_bytes_per_step", "first_loss", "final_loss",
