@@ -240,7 +240,10 @@ def step_anatomy(shards, batch_size: int, k: int = 16):
     stacked, _ = train_loop.upload_batch(
         train_loop.stack_batches([batch_host] * k)
     )
-    p2, o2, ms = multi(params, opt_state, stacked)
+    # fresh trees: the warm-up step() above DONATED params/opt_state
+    p2 = nmp.init_params(jax.random.PRNGKey(0))
+    o2 = optimizer.init(p2)
+    p2, o2, ms = multi(p2, o2, stacked)
     float(jax.device_get(ms["loss"][-1]))  # warm
 
     def run_scan():
