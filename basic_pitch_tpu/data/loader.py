@@ -123,13 +123,121 @@ def _extract_window(audio, onsets, contours, notes, t_start: float):
     return audio_w, onsets_w, contours_w, notes_w
 
 
-def iter_track_windows(
+_HEAD_TO_SER = {"onset": "onsets", "contour": "contours", "note": "notes"}
+_HEAD_BINS = {
+    "onset": constants.N_FREQ_BINS_NOTES,
+    "note": constants.N_FREQ_BINS_NOTES,
+    "contour": constants.N_FREQ_BINS_CONTOURS,
+}
+
+
+def _prep_track_coo(example: serialization.ParsedExample):
+    """Track-level COO prepared for window slicing.
+
+    Per head: t-major sorted, last-write-deduped (the dense scatter keeps
+    the last duplicate), zero-value-filtered (t, f, val) arrays — exactly
+    the entries ``np.nonzero`` of the densified raster yields, in the same
+    row-major order, so the COO window path collates bit-identically to
+    the dense path (tests/test_loader.py) without ever building rasters.
+    """
+    heads = {}
+    shapes = {}
+    for head, ser in _HEAD_TO_SER.items():
+        idx, val, shape = example.sparse_head(ser)
+        shapes[head] = shape
+        bins = _HEAD_BINS[head]
+        if val.size:
+            flat = idx[:, 0].astype(np.int64) * bins + idx[:, 1]
+            order = np.argsort(flat, kind="stable")
+            flat, v = flat[order], val[order]
+            keep = np.ones(len(flat), bool)
+            keep[:-1] = flat[1:] != flat[:-1]
+            keep &= v != 0  # np.nonzero of the raster skips stored zeros
+            flat, v = flat[keep], v[keep]
+            heads[head] = (flat // bins, (flat % bins).astype(np.int32), v)
+        else:
+            heads[head] = (
+                np.zeros(0, np.int64), np.zeros(0, np.int32), np.zeros(0, np.float32)
+            )
+    return heads, shapes
+
+
+def _iter_track_windows_coo(
     example: serialization.ParsedExample,
     n_samples_per_track: int,
     deterministic: bool,
     rng: np.random.RandomState,
 ):
+    """COO-mode twin of `iter_track_windows`: same RNG draws, same
+    validity/silent decisions (annotation activations are non-negative, so
+    the dense path's ``mean() == 0`` silent test equals "no nonzero entry
+    in the window"), but targets stay sparse — no raster fill, no dense
+    window slices, no re-sparsification at collate. Items carry
+    ``targets_coo[head] = (flat_window_idx int32, values f32)``.
+    """
+    coo, shapes = _prep_track_coo(example)
+    time_size = max(s[0] for s in shapes.values())
+    # window frame budget: present heads bound by their raster length,
+    # absent heads by the zeros(time_size) fill (`_sample_weights`)
+    frame_bound = min(
+        (s[0] if s[0] != 0 else time_size) for s in shapes.values()
+    )
+    weights = {
+        head: float(shapes[head][0] != 0) for head in _HEAD_TO_SER
+    }
+    n_sec = len(example.audio) / constants.AUDIO_SAMPLE_RATE
+    max_start = n_sec - constants.AUDIO_N_SAMPLES / constants.AUDIO_SAMPLE_RATE
+    if max_start <= 0:
+        return
+    track_seed = zlib.crc32(str(example.file_id).encode()) & 0x7FFFFFFF
+    for i in range(n_samples_per_track):
+        local = np.random.RandomState((track_seed + i) & 0x7FFFFFFF) if deterministic else rng
+        t_start = local.uniform(0.0, max_start)
+        a0 = int(round(constants.AUDIO_SAMPLE_RATE * t_start))
+        audio_w = example.audio[a0 : a0 + constants.AUDIO_N_SAMPLES]
+        f0 = int(round(constants.ANNOTATIONS_FPS * t_start))
+        if (
+            len(audio_w) < constants.AUDIO_N_SAMPLES
+            or f0 + constants.ANNOT_N_FRAMES > frame_bound
+        ):
+            continue
+        spans = {}
+        for head, (t, f, v) in coo.items():
+            lo = np.searchsorted(t, f0, "left")
+            hi = np.searchsorted(t, f0 + constants.ANNOT_N_FRAMES, "left")
+            spans[head] = (lo, hi)
+        if (
+            spans["contour"][0] == spans["contour"][1]
+            and spans["note"][0] == spans["note"][1]
+        ):
+            continue  # all-silent (`is_not_all_silent_annotations`)
+        targets_coo = {}
+        for head, (t, f, v) in coo.items():
+            lo, hi = spans[head]
+            flat = (
+                (t[lo:hi] - f0) * _HEAD_BINS[head] + f[lo:hi]
+            ).astype(np.int32)
+            targets_coo[head] = (flat, v[lo:hi])
+        yield {
+            "audio": audio_w.astype(np.float32),
+            "targets_coo": targets_coo,
+            "weights": dict(weights),
+        }
+
+
+def iter_track_windows(
+    example: serialization.ParsedExample,
+    n_samples_per_track: int,
+    deterministic: bool,
+    rng: np.random.RandomState,
+    coo: bool = False,
+):
     """Random 2-second windows of one track, silent ones dropped."""
+    if coo:
+        yield from _iter_track_windows_coo(
+            example, n_samples_per_track, deterministic, rng
+        )
+        return
     onsets, contours, notes, ow, cw, nw = _sample_weights(example)
     n_sec = len(example.audio) / constants.AUDIO_SAMPLE_RATE
     max_start = n_sec - constants.AUDIO_N_SAMPLES / constants.AUDIO_SAMPLE_RATE
@@ -177,6 +285,7 @@ def example_stream(
     num_shards: int = 1,
     shard_index: int = 0,
     parse_workers: int = 1,
+    coo: bool = False,
 ) -> Iterator[Dict]:
     """One pass over the split: every file once, windows per track.
 
@@ -185,7 +294,12 @@ def example_stream(
     ``parse_workers > 1`` parses records on a small thread pool (the heavy
     numpy work — proto walk, WAV decode, sparse densify — releases the GIL);
     order is preserved, so window extraction consumes the shared rng in the
-    same sequence and the stream stays deterministic for a fixed seed."""
+    same sequence and the stream stays deterministic for a fixed seed.
+    ``coo=True`` yields sparse-target items (`_iter_track_windows_coo`) —
+    the `device_targets` fast path; incompatible with ``pairs`` (mixing
+    needs dense windows)."""
+    if coo and pairs:
+        raise ValueError("coo window items do not support pairs mixing")
     if split == "validation":
         pairs = False
         if n_samples_per_track != 1:
@@ -228,10 +342,13 @@ def example_stream(
     for example in parsed:
         if example is None:
             continue
-        if example.notes.shape[0] == 0 and example.onsets.shape[0] == 0 and example.contours.shape[0] == 0:
+        if all(
+            example.head_shape(h)[0] == 0 for h in ("notes", "onsets", "contours")
+        ):
             continue
         for item in iter_track_windows(
-            example, n_samples_per_track, deterministic=(split != "train"), rng=nprng
+            example, n_samples_per_track, deterministic=(split != "train"),
+            rng=nprng, coo=coo,
         ):
             if pairs:
                 if pending_pair is None:
@@ -356,6 +473,25 @@ def _sparse_head(head: str, mats: List[np.ndarray]) -> Dict[str, np.ndarray]:
     return {"idx": idx, "val": val}
 
 
+def _collate_coo_head(head: str, entries: List) -> Dict[str, np.ndarray]:
+    """Window COO (flat idx, val) pairs -> the batched (B, cap) wire form
+    `_sparse_head` produces from dense windows — same pow2-cap ratchet,
+    same sentinel padding, bit-identical contents (the window COO already
+    carries np.nonzero's order/dedupe semantics, `_prep_track_coo`)."""
+    bins = _HEAD_BINS[head]
+    counts = np.fromiter((e[0].size for e in entries), np.int64, len(entries))
+    cap = _SPARSE_CAP_FLOORS[head]
+    while cap < int(counts.max(initial=0)):
+        cap *= 2
+    sentinel = constants.ANNOT_N_FRAMES * bins
+    idx = np.full((len(entries), cap), sentinel, np.int32)
+    val = np.zeros((len(entries), cap), np.float32)
+    for i, (flat, v) in enumerate(entries):
+        idx[i, : flat.size] = flat
+        val[i, : v.size] = v
+    return {"idx": idx, "val": val}
+
+
 _audio_transport_warned = False
 
 
@@ -402,13 +538,23 @@ def _collate_device(items: List[Dict]) -> Batch:
     shipping flat COO triples and rasterizing inside the jitted train step
     (train/loop.materialize_batch) cuts host->device traffic ~4x on an
     upload-bound link. Exactness contract: the materialized batch equals
-    `_collate`'s bit-for-bit (tests/test_train.py)."""
-    return {
-        "audio": _audio_transport(np.stack([it["audio"] for it in items])),
-        "targets_sparse": {
+    `_collate`'s bit-for-bit (tests/test_train.py).
+
+    Items may carry dense ``targets`` (re-sparsified here) or the loader
+    fast path's ``targets_coo`` (already window COO — just batched)."""
+    if "targets_coo" in items[0]:
+        targets = {
+            k: _collate_coo_head(k, [it["targets_coo"][k] for it in items])
+            for k in ("onset", "contour", "note")
+        }
+    else:
+        targets = {
             k: _sparse_head(k, [it["targets"][k] for it in items])
             for k in ("onset", "contour", "note")
-        },
+        }
+    return {
+        "audio": _audio_transport(np.stack([it["audio"] for it in items])),
+        "targets_sparse": targets,
         "weights": {
             k: np.asarray([it["weights"][k] for it in items], np.float32)
             for k in ("onset", "contour", "note")
@@ -475,6 +621,12 @@ def prepare_datasets(
     processes."""
     import itertools
 
+    from basic_pitch_tpu.utils import hostmem
+
+    # collate/stack/pack allocate tens of MB per batch; without this the
+    # deployment microVM re-faults every page at ~100 MB/s (utils/hostmem)
+    hostmem.tune_host_allocator()
+
     if num_shards > 1 and batch_size % num_shards:
         raise ValueError(
             f"global batch {batch_size} does not divide across {num_shards} hosts"
@@ -494,6 +646,7 @@ def prepare_datasets(
                 num_shards=num_shards,
                 shard_index=shard_index,
                 parse_workers=parse_workers,
+                coo=device_targets and not pairs,
             )
             epoch += 1
 
@@ -516,7 +669,8 @@ def prepare_datasets(
     def _cycle_stream():
         while True:
             yield from example_stream(
-                "validation", datasets_base_path, datasets_to_use, dataset_sampling_frequency
+                "validation", datasets_base_path, datasets_to_use,
+                dataset_sampling_frequency, coo=device_targets,
             )
 
     val_iter = itertools.cycle(val_batches())

@@ -9,7 +9,7 @@ contours have 3x the frequency resolution.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -80,23 +80,111 @@ def to_transcription_example_from_file(
 
 
 class ParsedExample:
-    """Dense view of one parsed example."""
+    """One parsed example: mono audio + per-head annotation rasters.
+
+    Annotations arrive from the TFRecord in sparse COO form ((N, 2)
+    (frame, bin) indices + values + dense shape). When built via
+    `from_sparse`, that form is RETAINED and the dense `.notes` /
+    `.onsets` / `.contours` rasters are materialized lazily on first
+    access — the training fast path (`loader.iter_track_windows` in COO
+    mode) windows the sparse form directly and never pays the raster
+    fill, which on a page-fault-bound host is most of the parse cost.
+    The dense constructor stays for callers that already hold rasters.
+    """
+
+    _HEADS = ("notes", "onsets", "contours")
 
     def __init__(
         self,
         file_id: str,
         source: str,
         audio: np.ndarray,  # (n_samples,) float32 mono 22.05 kHz
-        notes: np.ndarray,  # (n_frames, 88) or (0, ...) when absent
-        onsets: np.ndarray,
-        contours: np.ndarray,  # (n_frames, 264)
+        notes: Optional[np.ndarray] = None,  # (n_frames, 88) or (0, 0)
+        onsets: Optional[np.ndarray] = None,
+        contours: Optional[np.ndarray] = None,  # (n_frames, 264)
     ):
         self.file_id = file_id
         self.source = source
         self.audio = audio
-        self.notes = notes
-        self.onsets = onsets
-        self.contours = contours
+        self._dense: Dict[str, np.ndarray] = {}
+        for name, mat in (("notes", notes), ("onsets", onsets), ("contours", contours)):
+            if mat is not None:
+                self._dense[name] = mat
+        self._sparse: Optional[Dict[str, tuple]] = None
+
+    @classmethod
+    def from_sparse(
+        cls,
+        file_id: str,
+        source: str,
+        audio: np.ndarray,
+        heads: Dict[str, tuple],  # name -> (indices, values, shape arrays)
+    ) -> "ParsedExample":
+        ex = cls(file_id, source, audio)
+        norm = {}
+        for name in cls._HEADS:
+            idx, val, shape = heads[name]
+            if val.size == 0 or shape.size != 2:
+                # the densify convention: absent/empty annotations are (0, 0)
+                norm[name] = (
+                    np.zeros((0, 2), np.int32),
+                    np.zeros((0,), np.float32),
+                    (0, 0),
+                )
+            else:
+                norm[name] = (
+                    idx.reshape(-1, 2).astype(np.int32, copy=False),
+                    val.astype(np.float32, copy=False),
+                    tuple(int(s) for s in shape),
+                )
+        ex._sparse = norm
+        return ex
+
+    def head_shape(self, name: str) -> tuple:
+        """Dense raster shape of one head without materializing it."""
+        if name in self._dense:
+            return tuple(self._dense[name].shape)
+        assert self._sparse is not None
+        return self._sparse[name][2]
+
+    def sparse_head(self, name: str) -> tuple:
+        """(indices (N,2) int32, values (N,) f32, shape) for one head.
+
+        Derived by `np.nonzero` when only the dense raster exists, so both
+        construction routes expose the same interface.
+        """
+        if self._sparse is not None:
+            return self._sparse[name]
+        mat = self._dense[name]
+        ts, fs = np.nonzero(mat)
+        idx = np.stack([ts, fs], axis=1).astype(np.int32)
+        return idx, mat[ts, fs].astype(np.float32), tuple(mat.shape)
+
+    def _head_dense(self, name: str) -> np.ndarray:
+        if name not in self._dense:
+            assert self._sparse is not None, f"head {name} never provided"
+            idx, val, shape = self._sparse[name]
+            self._dense[name] = _densify_normalized(idx, val, shape)
+        return self._dense[name]
+
+    @property
+    def notes(self) -> np.ndarray:
+        return self._head_dense("notes")
+
+    @property
+    def onsets(self) -> np.ndarray:
+        return self._head_dense("onsets")
+
+    @property
+    def contours(self) -> np.ndarray:
+        return self._head_dense("contours")
+
+
+def _densify_normalized(idx: np.ndarray, val: np.ndarray, shape: tuple) -> np.ndarray:
+    dense = np.zeros(shape, np.float32)
+    if val.size:
+        dense[idx[:, 0].astype(np.int64), idx[:, 1].astype(np.int64)] = val
+    return dense
 
 
 def _densify(indices: np.ndarray, values: np.ndarray, shape: np.ndarray) -> np.ndarray:
@@ -127,11 +215,13 @@ def parse_transcription_example(record: bytes) -> ParsedExample:
     def tensor(name):
         return proto.decode_tensor(features[name][0])
 
-    return ParsedExample(
-        file_id=file_id,
-        source=source,
-        audio=audio,
-        notes=_densify(tensor("notes_indices"), tensor("notes_values"), tensor("notes_onsets_shape")),
-        onsets=_densify(tensor("onsets_indices"), tensor("onsets_values"), tensor("notes_onsets_shape")),
-        contours=_densify(tensor("contours_indices"), tensor("contours_values"), tensor("contours_shape")),
+    return ParsedExample.from_sparse(
+        file_id,
+        source,
+        audio,
+        {
+            "notes": (tensor("notes_indices"), tensor("notes_values"), tensor("notes_onsets_shape")),
+            "onsets": (tensor("onsets_indices"), tensor("onsets_values"), tensor("notes_onsets_shape")),
+            "contours": (tensor("contours_indices"), tensor("contours_values"), tensor("contours_shape")),
+        },
     )

@@ -97,16 +97,25 @@ def _measure(device=None, size_mib: int = PROBE_MIB) -> Dict:
     # with uploads, so the codec's per-byte cost is whichever of the two
     # stages is the wall, not their sum
     codec_s = max(pack_s / PACK_WORKERS, codec_dev_s)
+    # SERIAL model: on a feed whose host CPU is already saturated (the
+    # training loader on a 1-vCPU deployment host), pack CPU cannot hide
+    # under anything — it adds to the wall outright, so the codec's cost
+    # is the SUM of pack and upload. Train-side callers decide with this
+    # (`resolve(serial=True)`); the overlapped model above stays right for
+    # inference, where the host is idle while `device_put` holds the link.
+    codec_serial_s = pack_s + codec_dev_s
     mib = float(size_mib)
     return {
         "platform": jax.devices()[0].platform,
         "probe_mib": size_mib,
         "raw_mib_s": round(mib / raw_s, 1),
         "codec_mib_s": round(mib / codec_s, 1),
+        "codec_serial_mib_s": round(mib / codec_serial_s, 1),
         "pack_mib_s": round(mib / pack_s, 1),
         "codec_device_mib_s": round(mib / codec_dev_s, 1),
         "packed_ratio": round(pcm.nbytes / packed.packed_bytes, 2),
         "transport": "codec" if codec_s < raw_s else "raw",
+        "transport_serial": "codec" if codec_serial_s < raw_s else "raw",
         "note": (
             "measured end-to-end on this runtime; link speed and RPC "
             "latency differ between tunneled dev runtimes and local-PCIe "
@@ -124,12 +133,16 @@ def _reprobe(old: Dict, device=None) -> Dict:
     stored decision are individually honest even when they disagree.
     """
     new = _measure(device)
-    if new["transport"] != old["transport"]:
-        speeds = {k: new[f"{k}_mib_s"] for k in ("raw", "codec")}
-        incumbent, challenger = old["transport"], new["transport"]
-        if speeds[challenger] < HYSTERESIS * speeds[incumbent]:
-            new["transport"] = incumbent  # not decisively better: hold
-            new["held_by_hysteresis"] = True
+    for key, codec_speed in (
+        ("transport", "codec_mib_s"),
+        ("transport_serial", "codec_serial_mib_s"),
+    ):
+        if key in old and new[key] != old[key]:
+            speeds = {"raw": new["raw_mib_s"], "codec": new[codec_speed]}
+            incumbent, challenger = old[key], new[key]
+            if speeds[challenger] < HYSTERESIS * speeds[incumbent]:
+                new[key] = incumbent  # not decisively better: hold
+                new.setdefault("held_by_hysteresis", True)
     return new
 
 
@@ -195,12 +208,19 @@ def check_mode(pcm_transport: str) -> str:
     return pcm_transport
 
 
-def resolve(pcm_transport: str, device=None, ttl_s: Optional[float] = None) -> str:
+def resolve(
+    pcm_transport: str,
+    device=None,
+    ttl_s: Optional[float] = None,
+    serial: bool = False,
+) -> str:
     """Map a requested transport ("codec" | "raw" | "auto") to a concrete one.
 
     "auto" measures (see probe); it resolves to "raw" outright when the
     native packer is absent, since the numpy packer is too slow for the
-    throughput path (pcmcodec.available).
+    throughput path (pcmcodec.available). ``serial=True`` decides with the
+    serial cost model (pack + upload, no overlap) — right for feeds whose
+    host CPU is already the bottleneck, i.e. the training loader.
     """
     if check_mode(pcm_transport) in ("codec", "raw"):
         return pcm_transport
@@ -208,7 +228,8 @@ def resolve(pcm_transport: str, device=None, ttl_s: Optional[float] = None) -> s
 
     if not pcmcodec.available():
         return "raw"
-    return probe(device=device, ttl_s=ttl_s)["transport"]
+    record = probe(device=device, ttl_s=ttl_s)
+    return record["transport_serial" if serial else "transport"]
 
 
 def report(device=None) -> Dict:

@@ -123,9 +123,10 @@ class StreamingTranscriber:
         transport_ttl_s: float = 120.0,
         compute_group: int = 2,
     ):
-        from basic_pitch_tpu.utils import runtime
+        from basic_pitch_tpu.utils import hostmem, runtime
 
         runtime.enable_compilation_cache()
+        hostmem.tune_host_allocator()  # warm-heap reuse of chunk buffers
         if isinstance(model_or_params, dict):
             self.params = model_or_params
         else:

@@ -654,6 +654,9 @@ def make_server(
     max_body_bytes: int = MAX_BODY_BYTES,
 ) -> ThreadingHTTPServer:
     """Bind (port 0 picks a free one); caller runs serve_forever()."""
+    from basic_pitch_tpu.utils import hostmem
+
+    hostmem.tune_host_allocator()  # warm-heap reuse of request PCM buffers
     server = ThreadingHTTPServer((host, port), TranscriptionHandler)
     server.service = service
     server.max_body_bytes = max_body_bytes

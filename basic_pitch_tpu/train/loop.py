@@ -131,7 +131,12 @@ def pack_batch_audio(batch: Batch, pcm_transport: str = "auto") -> Batch:
         and audio.dtype == np.int16
         and pcm_transport != "raw"
         and pcmcodec.available()
-        and (pcm_transport == "codec" or transport.resolve("auto") == "codec")
+        and (
+            pcm_transport == "codec"
+            # serial cost model: the train feed's host CPU is saturated by
+            # the loader, so pack time adds to the wall (transport.resolve)
+            or transport.resolve("auto", serial=True) == "codec"
+        )
     ):
         packed = pcmcodec.pack(np.ascontiguousarray(audio).reshape(-1))
         if packed.packed_bytes < audio.nbytes:
@@ -617,7 +622,9 @@ def fit(
     and logs.
     """
     from basic_pitch_tpu.parallel import distributed as dist
+    from basic_pitch_tpu.utils import hostmem
 
+    hostmem.tune_host_allocator()  # warm-heap reuse of batch/pack buffers
     multiproc = mesh is not None and dist.spans_processes(mesh)
     is_main = not multiproc or jax.process_index() == 0
     if multiproc:

@@ -175,3 +175,80 @@ def test_loader_host_shards_are_disjoint_and_complete(tmp_path):
             datasets_to_use=["setA"], dataset_sampling_frequency=[1.0],
             num_shards=2, shard_index=0,
         )
+
+
+def _assert_batches_equal(a, b):
+    assert np.array_equal(a["audio"], b["audio"]) and a["audio"].dtype == b["audio"].dtype
+    for head in ("onset", "contour", "note"):
+        sa, sb = a["targets_sparse"][head], b["targets_sparse"][head]
+        assert np.array_equal(sa["idx"], sb["idx"]), head
+        assert np.array_equal(sa["val"], sb["val"]), head
+        assert np.array_equal(a["weights"][head], b["weights"][head])
+
+
+def test_coo_window_path_matches_dense_bitexact(data_dir):
+    """The COO fast path (windows sliced from the track's sparse COO, no
+    raster ever built) must collate bit-identically to the dense path
+    (raster fill -> window slice -> np.nonzero re-sparsification)."""
+
+    def batches(coo):
+        stream = loader.example_stream(
+            "train", str(data_dir), ["setA", "setB"], [0.5, 0.5], seed=3, coo=coo
+        )
+        it = loader._batched(stream, 16, device_targets=True)
+        return [next(it) for _ in range(3)]
+
+    for dense_b, coo_b in zip(batches(False), batches(True)):
+        _assert_batches_equal(dense_b, coo_b)
+
+
+def test_coo_path_missing_contours_and_validation(tmp_path):
+    _write_dataset(tmp_path, "noc", "validation", with_contours=False)
+    def batches(coo):
+        stream = loader.example_stream(
+            "validation", str(tmp_path), ["noc"], [1.0], seed=1, coo=coo
+        )
+        it = loader._batched(stream, 4, device_targets=True)
+        return next(it)
+
+    dense_b, coo_b = batches(False), batches(True)
+    _assert_batches_equal(dense_b, coo_b)
+    assert float(coo_b["weights"]["contour"][0]) == 0.0
+
+
+def test_coo_dedupe_and_stored_zeros_match_dense(tmp_path):
+    """Duplicate COO coords (dense scatter keeps the last write) and
+    explicitly-stored zero values (np.nonzero drops them) must survive the
+    COO fast path identically."""
+    from basic_pitch_tpu.data import serialization as ser
+
+    fps = constants.ANNOTATIONS_FPS
+    n_frames = fps * 5
+    rng = np.random.RandomState(0)
+    audio = (rng.randn(22050 * 5) * 0.1).astype(np.float32)
+    tmp = tmp_path / "tmp.wav"
+    audio_io.write_wav(tmp, audio, 22050)
+    wav_bytes = tmp.read_bytes()
+    # duplicates: (50, 40) written twice (0.3 then 0.9 -> dense keeps 0.9);
+    # (60, 41) written 0.5 then 0.0 -> dense holds 0.0 -> nonzero drops it;
+    # (70, 42) stored as a plain zero -> dropped
+    notes_idx = [(50, 40), (50, 40), (60, 41), (60, 41), (70, 42), (80, 43)]
+    notes_val = [0.3, 0.9, 0.5, 0.0, 0.0, 1.0]
+    record = ser.to_transcription_example(
+        "dup", "toy", wav_bytes,
+        notes_indices=notes_idx, notes_values=notes_val,
+        onsets_indices=notes_idx, onsets_values=notes_val,
+        contours_indices=[(f, 120) for f, _ in notes_idx], contours_values=notes_val,
+        notes_onsets_shape=(n_frames, 88), contours_shape=(n_frames, 264),
+    )
+    ex = ser.parse_transcription_example(record)
+    rng_d = np.random.RandomState(7)
+    rng_c = np.random.RandomState(7)
+    dense_items = list(loader.iter_track_windows(ex, 12, False, rng_d))
+    # fresh parse: the first pass may have cached the dense rasters
+    ex2 = ser.parse_transcription_example(record)
+    coo_items = list(loader.iter_track_windows(ex2, 12, False, rng_c, coo=True))
+    assert len(dense_items) == len(coo_items) > 0
+    _assert_batches_equal(
+        loader._collate_device(dense_items), loader._collate_device(coo_items)
+    )
