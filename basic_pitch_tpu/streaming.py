@@ -94,6 +94,13 @@ class _PendingNote:
     bends: Optional[list]
     clamped: bool = False
     misses: int = 0
+    # flush decodes that reported this note (a claim inherits the claimed
+    # record's count + 1): grace-exhausted records with a single sighting
+    # are dropped, not force-emitted — measured on real vocals, one-flush
+    # sightings the decode never confirms are window-edge hallucinations
+    # (12 of 13 force-emits at the aggressive setting had no offline
+    # counterpart), while real notes are re-reported and accumulate
+    sightings: int = 1
 
 
 class StreamingSession:
@@ -169,6 +176,15 @@ class StreamingSession:
         # pending note, or they are window-edge artifacts and are dropped
         self._finalized_s = 0.0
         self._emitted_keys: List[Tuple[float, int]] = []  # (onset_s, pitch)
+        # (onset_s, end_s, pitch) of emitted notes: offline decode NEVER
+        # overlaps same-pitch notes (a note is a maximal run of active
+        # frames per pitch), so any later event overlapping an emitted
+        # same-pitch span is a sliding-window re-decode of that note
+        self._emitted_spans: List[Tuple[float, float, int]] = []
+        # spans of single-sighting records dropped as hallucinations: if a
+        # later decode re-finds one (so it WAS real), the re-find is let
+        # back through the finalized-horizon artifact filter and emitted
+        self._dropped_spans: List[Tuple[float, float, int]] = []
         self._pending: List[_PendingNote] = []  # un-ended notes (see _PendingNote)
         self.stats: Dict[str, float] = {
             "flushes": 0,
@@ -179,10 +195,13 @@ class StreamingSession:
             # nonzero means the live path emitted from a stale sighting
             # (observable imprecision, no longer a lost note)
             "pending_force_emitted": 0,
-            # force-emit candidates whose last sighting had no usable end
-            # (defensive: pendings are created from decoded events, so this
-            # should stay 0)
+            # grace-exhausted records the decode reported exactly ONCE and
+            # never confirmed: measured window-edge hallucinations, dropped
+            # (also counts the defensive no-usable-end case)
             "pending_dropped": 0,
+            # grace-exhausted records a fresher overlapping sighting of the
+            # same note already carried — suppressed instead of duplicated
+            "pending_superseded": 0,
         }
 
     # ------------------------------------------------------------------
@@ -252,10 +271,29 @@ class StreamingSession:
         new_pending: List[_PendingNote] = []
         unmatched = list(self._pending)  # records not yet claimed this flush
 
-        def matches_emitted(onset, pitch):
+        def covered(onset, offset, spans, pitch) -> bool:
+            """True when a same-pitch span holds the MAJORITY of
+            [onset, offset]: offline decode never overlaps same-pitch notes,
+            so an event mostly inside an already-carried span is a sliding
+            re-decode of that note, not a new one. Majority (not mere
+            touching) so a re-articulation abutting the previous note's
+            slightly-stale end survives."""
+            need = max(tol, 0.5 * (offset - onset))
             return any(
-                p == pitch and abs(k - onset) <= tol for k, p in self._emitted_keys
+                p == pitch and min(offset, e) - max(onset, s) >= need
+                for s, e, p in spans
             )
+
+        def matches_emitted(onset, offset, pitch):
+            if any(
+                p == pitch and abs(k - onset) <= tol for k, p in self._emitted_keys
+            ):
+                return True
+            # the re-decode jittered the onset past the key tolerance but
+            # the event lies mostly inside an emitted same-pitch span: the
+            # SAME note re-seen (the round-5 precision hole — force-emit +
+            # jittered re-find each produced an event)
+            return covered(onset, offset, self._emitted_spans, pitch)
 
         def take_pending(onset, pitch) -> Optional[_PendingNote]:
             """Claim the matching pending record, consuming it: each record
@@ -283,12 +321,18 @@ class StreamingSession:
 
         for start, end, pitch, amplitude, bends in events:
             onset, offset = start + base_s, end + base_s
-            if matches_emitted(onset, pitch):
+            if matches_emitted(onset, offset, pitch):
                 continue  # already final in an earlier flush
             pending = take_pending(onset, pitch)
-            if pending is None and onset < self._finalized_s - tol:
+            if (
+                pending is None
+                and onset < self._finalized_s - tol
+                and not covered(onset, offset, self._dropped_spans, pitch)
+            ):
                 # starts inside the already-finalized region yet never seen
                 # before: a window-edge artifact of the sliding re-decode
+                # (unless it re-finds a span dropped as a hallucination —
+                # the decode confirming it means the note was real)
                 continue
             # a note first seen before trimming slid past its onset keeps
             # that original onset; its end/amplitude/bends come from the
@@ -297,30 +341,61 @@ class StreamingSession:
             if offset <= emit_before:
                 out.append((orig_onset, offset, pitch, amplitude, bends))
                 self._emitted_keys.append((onset, pitch))
+                self._emitted_spans.append((orig_onset, offset, pitch))
             else:
                 new_pending.append(
-                    _PendingNote(onset, pitch, orig_onset, offset, amplitude, bends)
+                    _PendingNote(
+                        onset,
+                        pitch,
+                        orig_onset,
+                        offset,
+                        amplitude,
+                        bends,
+                        sightings=(pending.sightings + 1) if pending else 1,
+                    )
                 )
 
         # pending notes no event claimed: the decode momentarily failed to
         # report them (e.g. an amplitude dip at the window edge). Carry them
         # within the grace budget so the note isn't silently lost; once
-        # exhausted (or at the final flush), EMIT the note with its last
-        # observed end — the decode that created the record saw a real note,
-        # and losing it entirely was the round-4 aggressive-setting recall
-        # hole (STREAM_PARITY worst case). The force-emit stays observable
-        # in self.stats.
+        # exhausted (or at the final flush), EMIT corroborated records
+        # (>= 2 sightings) with their last observed end — the decode saw a
+        # real note more than once, and losing it entirely was the round-4
+        # aggressive-setting recall hole (STREAM_PARITY worst case). Records
+        # with a SINGLE sighting the decode never confirmed are dropped:
+        # measured on real vocals, they are short window-edge hallucinations
+        # the offline decode never reports (emitting them cost precision,
+        # 0.9455 -> 0.9086). Both outcomes stay observable in self.stats.
+        def superseded(rec: _PendingNote) -> bool:
+            """A fresher sighting of the same note already carries it: an
+            event emitted this flush, a new pending record, or an earlier
+            emitted span that covers the majority of the record's interval.
+            Force-emitting on top of it would duplicate the note."""
+            spans = (
+                [(s, e, p) for s, e, p, _a, _b in out]
+                + [(p.orig_onset_s, p.end_s, p.pitch) for p in new_pending]
+                + self._emitted_spans
+            )
+            return covered(rec.orig_onset_s, rec.end_s, spans, rec.pitch)
+
         for rec in unmatched:
             if not final and rec.misses < self._grace_flushes:
                 rec.misses += 1
                 new_pending.append(rec)
-            elif rec.end_s > rec.orig_onset_s:
+            elif superseded(rec):
+                self.stats["pending_superseded"] += 1
+            elif rec.sightings >= 2 and rec.end_s > rec.orig_onset_s:
                 out.append(
                     (rec.orig_onset_s, rec.end_s, rec.pitch, rec.amplitude, rec.bends)
                 )
                 self._emitted_keys.append((rec.match_onset_s, rec.pitch))
+                self._emitted_spans.append((rec.orig_onset_s, rec.end_s, rec.pitch))
                 self.stats["pending_force_emitted"] += 1
             else:
+                if rec.end_s > rec.orig_onset_s:
+                    self._dropped_spans.append(
+                        (rec.orig_onset_s, rec.end_s, rec.pitch)
+                    )
                 self.stats["pending_dropped"] += 1
 
         self._pending = new_pending
@@ -359,9 +434,17 @@ class StreamingSession:
             if rec.match_onset_s < cut_s:
                 rec.match_onset_s = cut_s
                 rec.clamped = True
-        # emitted keys older than the window can never collide again
+        # emitted keys/spans older than the window can never collide again
         floor = self._buf_start / self.sample_rate - 1.0
         if len(self._emitted_keys) > 256:
             self._emitted_keys = [
                 (k, p) for k, p in self._emitted_keys if k >= floor
+            ]
+        if len(self._emitted_spans) > 256:
+            self._emitted_spans = [
+                (s, e, p) for s, e, p in self._emitted_spans if e >= floor
+            ]
+        if len(self._dropped_spans) > 256:
+            self._dropped_spans = [
+                (s, e, p) for s, e, p in self._dropped_spans if e >= floor
             ]

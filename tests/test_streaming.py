@@ -314,16 +314,17 @@ def _session(script, **kw):
 
 
 def test_pending_note_force_emitted_not_lost():
-    """A note the decode reported once and never again survives grace
-    exhaustion as an EVENT (with its last observed end), not a loss."""
-    # flush 1 sees a note ending beyond the lookahead horizon -> pending;
-    # later flushes never report it again
-    note = (0.5, 1.9, 60, 0.8, None)
-    session = _session([[note], [], [], [], []], segment_seconds=2.0,
+    """A note the decode CONFIRMED (reported in two flushes) then never
+    again survives grace exhaustion as an EVENT (with its last observed
+    end), not a loss."""
+    # flushes 1-2 see a note ending beyond the lookahead horizon ->
+    # pending with 2 sightings; later flushes never report it again
+    note = (0.5, 3.9, 60, 0.8, None)
+    session = _session([[note], [note], [], [], []], segment_seconds=2.0,
                        lookahead_seconds=1.0)
     out = []
     block = np.zeros(int(0.5 * SR), np.float32)
-    for _ in range(16):  # 8 s -> 4 flushes
+    for _ in range(24):  # 12 s -> 6 flushes
         out.extend(session.feed(block))
     out.extend(session.close())
     assert session.stats["pending_dropped"] == 0
@@ -331,18 +332,38 @@ def test_pending_note_force_emitted_not_lost():
     forced = [e for e in out if e[2] == 60]
     assert len(forced) == 1
     start, end, pitch, amp, _ = forced[0]
-    assert abs(start - 0.5) < 1e-6 and abs(end - 1.9) < 1e-6 and amp == 0.8
+    assert abs(start - 0.5) < 1e-6 and abs(end - 3.9) < 1e-6 and amp == 0.8
 
 
 def test_pending_note_force_emitted_at_close():
-    """Un-reclaimed pendings at the final flush are emitted, not dropped."""
-    note = (0.5, 1.9, 64, 0.7, None)
-    session = _session([[note], []], segment_seconds=2.0, lookahead_seconds=1.0)
+    """Un-reclaimed CONFIRMED pendings at the final flush are emitted,
+    not dropped."""
+    note = (0.5, 3.9, 64, 0.7, None)
+    session = _session([[note], [note], []], segment_seconds=2.0,
+                       lookahead_seconds=1.0)
     out = []
+    out.extend(session.feed(np.zeros(int(2.0 * SR), np.float32)))
     out.extend(session.feed(np.zeros(int(2.0 * SR), np.float32)))
     out.extend(session.close())
     assert [e[2] for e in out] == [64]
     assert session.stats["pending_force_emitted"] == 1
+
+
+def test_single_sighting_phantom_dropped():
+    """A note the decode reported exactly ONCE and never confirmed is a
+    window-edge hallucination: dropped at grace exhaustion, not emitted
+    (measured on real vocals — STREAM_PARITY precision floor)."""
+    phantom = (0.5, 1.9, 60, 0.8, None)
+    session = _session([[phantom], [], [], [], []], segment_seconds=2.0,
+                       lookahead_seconds=1.0)
+    out = []
+    block = np.zeros(int(0.5 * SR), np.float32)
+    for _ in range(16):
+        out.extend(session.feed(block))
+    out.extend(session.close())
+    assert out == []
+    assert session.stats["pending_force_emitted"] == 0
+    assert session.stats["pending_dropped"] == 1
 
 
 def test_grace_budget_scales_with_segment_length():
@@ -359,13 +380,64 @@ def test_grace_budget_scales_with_segment_length():
 def test_regained_note_not_duplicated_after_force_emit():
     """If the decode re-reports a note AFTER its force-emit, the emitted-key
     dedup suppresses the duplicate."""
+    anchor = (0.1, 99.0, 40, 0.5, None)  # pins the window origin at 0
     note = (0.5, 1.9, 60, 0.8, None)
     late = (0.5, 2.2, 60, 0.8, None)  # same note, re-seen much later
-    session = _session([[note], [], [], [late], [late]], segment_seconds=2.0,
-                       lookahead_seconds=1.0)
+    session = _session(
+        [[anchor, note], [anchor], [anchor], [anchor, late], [anchor, late]],
+        segment_seconds=2.0, lookahead_seconds=1.0)
     out = []
     block = np.zeros(int(1.0 * SR), np.float32)
     for _ in range(10):
         out.extend(session.feed(block))
     out.extend(session.close())
     assert [e[2] for e in out] == [60]
+
+
+def test_jittered_refind_not_duplicated():
+    """A note seen once is dropped at grace exhaustion (single sighting),
+    but a later re-decode that re-finds it — onset jittered past the 40 ms
+    key tolerance — resurrects it through the finalized-horizon filter, and
+    the note still emits exactly ONCE. This was the round-5
+    aggressive-setting precision hole (STREAM_PARITY 0.9086: force-emit +
+    jittered re-find each produced an event)."""
+    # an always-reported never-ending anchor at another pitch keeps the
+    # trim (and so the scripted decode's window origin) pinned at 0
+    anchor = (0.1, 99.0, 40, 0.5, None)
+    first = (0.5, 3.5, 60, 0.8, None)  # pending: ends past the horizon
+    jitter = (0.62, 3.5, 60, 0.8, None)  # same note, onset +120 ms
+    session = _session(
+        [[anchor, first], [anchor], [anchor], [anchor, jitter],
+         [anchor, jitter]],
+        segment_seconds=2.0, lookahead_seconds=1.0)
+    out = []
+    block = np.zeros(int(1.0 * SR), np.float32)
+    for _ in range(10):
+        out.extend(session.feed(block))
+    out.extend(session.close())
+    sixties = [e for e in out if e[2] == 60]
+    assert len(sixties) == 1
+    assert abs(sixties[0][0] - 0.62) < 1e-6  # resurrected sighting's onset
+    assert session.stats["pending_dropped"] == 1
+
+
+def test_force_emit_superseded_by_fresher_sighting():
+    """A split first decode leaves TWO pending records for what later
+    decodes see as ONE note; the event claims the earlier record, and when
+    the orphaned second record exhausts grace it is suppressed (its span is
+    already carried by the fresher pending), not emitted as a duplicate."""
+    split_a = (0.5, 1.4, 60, 0.8, None)
+    split_b = (1.5, 3.5, 60, 0.8, None)
+    merged = (0.5, 3.5, 60, 0.8, None)
+    session = _session([[split_a, split_b], [merged], [merged], [merged]],
+                       segment_seconds=2.0, lookahead_seconds=1.0)
+    out = []
+    block = np.zeros(int(1.0 * SR), np.float32)
+    for _ in range(8):
+        out.extend(session.feed(block))
+    out.extend(session.close())
+    sixties = [e for e in out if e[2] == 60]
+    assert len(sixties) == 1
+    assert session.stats["pending_superseded"] == 1
+    assert session.stats["pending_force_emitted"] == 0
+    assert session.stats["pending_dropped"] == 0
