@@ -100,7 +100,7 @@ def _warm(transcriber, lengths_csv: str) -> None:
         logging.info("warmed %.0fs shapes in %.1fs", seconds, time.time() - t0)
 
 
-def main(args=None) -> None:
+def main(args: "list[str] | None" = None) -> None:
     ns = build_parser().parse_args(args)
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
 

@@ -16,7 +16,7 @@ from __future__ import annotations
 import argparse
 import json
 import sys
-from typing import List, Optional
+from typing import BinaryIO, List, Optional, TextIO
 
 import numpy as np
 
@@ -73,7 +73,11 @@ def _emit(events, out) -> int:
     return len(events)
 
 
-def main(args: Optional[List[str]] = None, stdin=None, stdout=None) -> int:
+def main(
+    args: Optional[List[str]] = None,
+    stdin: Optional[BinaryIO] = None,
+    stdout: Optional[TextIO] = None,
+) -> int:
     ns = build_parser().parse_args(args)
     stdin = stdin if stdin is not None else sys.stdin.buffer
     stdout = stdout if stdout is not None else sys.stdout

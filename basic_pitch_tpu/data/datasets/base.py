@@ -26,7 +26,7 @@ from basic_pitch_tpu.utils import audio as audio_io
 PathLike = str
 
 
-def midi_to_hz(pitch_midi) -> np.ndarray:
+def midi_to_hz(pitch_midi: "np.ndarray | float") -> np.ndarray:
     return 440.0 * 2.0 ** ((np.asarray(pitch_midi, np.float64) - 69.0) / 12.0)
 
 

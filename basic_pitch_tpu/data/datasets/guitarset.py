@@ -36,7 +36,7 @@ def _paths(source: str, track_id: str):
     )
 
 
-def parse_jams(jams_path) -> dict:
+def parse_jams(jams_path: "str | pathlib.Path") -> dict:
     """Extract merged note events and pitch contours from a JAMS file."""
     with open(jams_path) as fh:
         jam = json.load(fh)

@@ -40,7 +40,7 @@ def _paths(source: str, track_id: str):
     )
 
 
-def parse_pv(path) -> Tuple[np.ndarray, np.ndarray]:
+def parse_pv(path: "str | pathlib.Path") -> Tuple[np.ndarray, np.ndarray]:
     """pv file -> (times, freqs_hz); zero entries are unvoiced."""
     pitch_midi = np.array(
         [float(line.strip()) for line in open(path) if line.strip()], np.float64
@@ -50,7 +50,7 @@ def parse_pv(path) -> Tuple[np.ndarray, np.ndarray]:
     return times, freqs
 
 
-def parse_notes_csv(path) -> Tuple[np.ndarray, np.ndarray]:
+def parse_notes_csv(path: "str | pathlib.Path") -> Tuple[np.ndarray, np.ndarray]:
     """start,duration,midi csv -> (intervals, pitches_hz)."""
     rows = []
     for line in open(path):
@@ -76,7 +76,9 @@ class IkalaBuilder:
         wav_dir = pathlib.Path(self.source) / "Wavfile"
         return sorted(p.stem for p in wav_dir.glob("*.wav"))
 
-    def input_data(self, train_percent: float = 0.9, seed: Optional[int] = None):
+    def input_data(
+        self, train_percent: float = 0.9, seed: Optional[int] = None
+    ) -> "list[tuple[str, str]]":
         """train/validation only — iKala defines no test split."""
         ids = self.track_ids()
         rng = random.Random(seed)

@@ -49,7 +49,7 @@ class MaestroBuilder:
     def track_ids(self) -> List[str]:
         return sorted(self.index)
 
-    def input_data(self):
+    def input_data(self) -> "list[tuple[str, str]]":
         # official split assignment (`maestro.py:166-170`)
         return [(tid, rec["split"]) for tid, rec in sorted(self.index.items())]
 

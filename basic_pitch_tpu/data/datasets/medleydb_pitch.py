@@ -36,7 +36,7 @@ def _paths(source: str, track_id: str):
     )
 
 
-def parse_pitch_csv(path) -> Tuple[np.ndarray, np.ndarray]:
+def parse_pitch_csv(path: "str | pathlib.Path") -> Tuple[np.ndarray, np.ndarray]:
     times, freqs = [], []
     for line in open(path):
         parts = line.strip().split(",")

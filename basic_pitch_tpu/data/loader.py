@@ -231,7 +231,7 @@ def iter_track_windows(
     deterministic: bool,
     rng: np.random.RandomState,
     coo: bool = False,
-):
+) -> "Iterator[dict]":
     """Random 2-second windows of one track, silent ones dropped."""
     if coo:
         yield from _iter_track_windows_coo(

@@ -285,7 +285,7 @@ def run(
     return dataset_dir
 
 
-def is_complete(dataset_dir, num_tasks: int) -> bool:
+def is_complete(dataset_dir: "str | pathlib.Path", num_tasks: int) -> bool:
     """True when every task of an N-task build has written its marker."""
     d = pathlib.Path(dataset_dir)
     return all((d / f"_COMPLETE-t{i:03d}.json").exists() for i in range(num_tasks))

@@ -12,7 +12,7 @@ is covered by tests that round-trip against tensorflow when it is available.
 from __future__ import annotations
 
 import struct
-from typing import Dict, List, Tuple, Union
+from typing import Dict, Iterator, List, Tuple, Union
 
 import numpy as np
 
@@ -51,7 +51,7 @@ def _length_delimited(field_number: int, payload: bytes) -> bytes:
     return _tag(field_number, 2) + encode_varint(len(payload)) + payload
 
 
-def iter_fields(data: bytes):
+def iter_fields(data: bytes) -> "Iterator[Tuple[int, int, Union[int, bytes]]]":
     """Yield (field_number, wire_type, value) tuples from a message body.
 
     Length-delimited values are returned as bytes; varints as ints; fixed

@@ -67,7 +67,7 @@ def to_transcription_example_from_file(
     file_id: str,
     source: str,
     audio_wav_file_path: str,
-    **sparse_annotations,
+    **sparse_annotations: "np.ndarray | Sequence",
 ) -> bytes:
     """File-path variant asserting the WAV is 22.05 kHz mono, like the
     reference's sox probe (`tf_example_serialization.py:104-105`)."""

@@ -233,7 +233,11 @@ def preprocess(
     return frames, onsets
 
 
-def onset_peak_mask(onsets: jnp.ndarray, t_end, onset_thresh) -> jnp.ndarray:
+def onset_peak_mask(
+    onsets: jnp.ndarray,
+    t_end: "jnp.ndarray | int",
+    onset_thresh: "jnp.ndarray | float",
+) -> jnp.ndarray:
     """Strict time-local onset maxima, thresholded with >= — including the
     reference's quirk that threshold 0 admits non-peaks
     (`note_creation.py:396-404`) — with every frame past t_end excluded.
@@ -247,7 +251,9 @@ def onset_peak_mask(onsets: jnp.ndarray, t_end, onset_thresh) -> jnp.ndarray:
     return (peak_values >= onset_thresh) & (pos_t < t_end)
 
 
-def onset_candidate_order(onset_mask: jnp.ndarray, k: int, buf_len: int):
+def onset_candidate_order(
+    onset_mask: jnp.ndarray, k: int, buf_len: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Onset candidates in the reference's order (time desc, then freq desc
     == descending flattened index), stream-compacted into a (buf_len,) int32
     buffer of flat ids (-1 padded); candidates past the LOGICAL cap `k` are
@@ -274,16 +280,16 @@ def onset_candidate_order(onset_mask: jnp.ndarray, k: int, buf_len: int):
 def decode(
     frames: jnp.ndarray,
     onsets: jnp.ndarray,
-    onset_thresh,
-    frame_thresh,
-    min_note_len,
+    onset_thresh: "jnp.ndarray | float",
+    frame_thresh: "jnp.ndarray | float",
+    min_note_len: "jnp.ndarray | int",
     freq_mask: Optional[jnp.ndarray] = None,
     infer_onsets: bool = True,
     melodia_trick: bool = True,
     energy_tol: int = host_decode.DEFAULT_ENERGY_TOLERANCE,
     max_notes: int = 4096,
     max_melodia_iters: int = 8192,
-    valid_frames=None,
+    valid_frames: "jnp.ndarray | int | None" = None,
 ) -> DecodedNotes:
     """Jittable equivalent of `output_to_notes_polyphonic`.
 
@@ -592,7 +598,9 @@ def bend_matrix(contours: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def notes_to_events(decoded: DecodedNotes, bends: Optional[np.ndarray]):
+def notes_to_events(
+    decoded: DecodedNotes, bends: Optional[np.ndarray]
+) -> "list[tuple]":
     """Device buffers -> the host event-tuple format (frame domain)."""
     # one batched fetch: per-field np.asarray would pay a full device round
     # trip per buffer when `decoded` is still device-resident (free when the
@@ -616,7 +624,7 @@ def notes_to_events_packed(
     decoded: DecodedNotes,
     bends_inline: np.ndarray,
     bends_all_device: jnp.ndarray,
-):
+) -> "list[tuple]":
     """Like `notes_to_events` but from the compact per-note bend buffer.
 
     `bends_inline` is the host copy of `gather_note_bends`' output; notes

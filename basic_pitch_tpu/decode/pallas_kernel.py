@@ -517,14 +517,14 @@ def pallas_greedy_stages(
     onset_order: jnp.ndarray,  # (max_notes,) int32 flat ids, -1 padded
     n_onsets: jnp.ndarray,
     t_end: jnp.ndarray,
-    frame_thresh,
-    min_note_len,
+    frame_thresh: "jnp.ndarray | float",
+    min_note_len: "jnp.ndarray | int",
     energy_tol: int,
     max_notes: int,
     max_melodia_iters: int,
     melodia_trick: bool,
     interpret: bool = False,
-):
+) -> "tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]":
     """Run both greedy decode stages in one Pallas kernel.
 
     Returns (packed (max_notes, 4) int32 [start, end, pitch, amp-bits],
@@ -613,18 +613,18 @@ def pallas_greedy_stages(
 def decode_pallas(
     frames: jnp.ndarray,
     onsets: jnp.ndarray,
-    onset_thresh,
-    frame_thresh,
-    min_note_len,
-    freq_mask=None,
+    onset_thresh: "jnp.ndarray | float",
+    frame_thresh: "jnp.ndarray | float",
+    min_note_len: "jnp.ndarray | int",
+    freq_mask: "jnp.ndarray | None" = None,
     infer_onsets: bool = True,
     melodia_trick: bool = True,
     energy_tol: int = host_decode.DEFAULT_ENERGY_TOLERANCE,
     max_notes: int = 4096,
     max_melodia_iters: int = 8192,
-    valid_frames=None,
+    valid_frames: "jnp.ndarray | int | None" = None,
     interpret: bool = False,
-):
+) -> "device_decode.DecodedNotes":
     """Drop-in equivalent of `device.decode` running the greedy stages in the
     Pallas kernel. Preprocessing (onset inference, peak picking, emission
     ordering) is the same XLA code as the reference path."""

@@ -316,7 +316,7 @@ def predict(
     melodia_trick: bool = True,
     debug_file: Optional[pathlib.Path] = None,
     midi_tempo: float = DEFAULT_MIDI_TEMPO,
-):
+) -> "Tuple[Dict[str, np.ndarray], object, list]":
     """Transcribe one audio file.
 
     Returns (model_output, MidiFile, note_events) — the reference's flagship

@@ -64,7 +64,7 @@ def _one(buf: bytes, field: int) -> Optional[bytes]:
     return out
 
 
-def looks_like_mlpackage(path) -> bool:
+def looks_like_mlpackage(path: "str | pathlib.Path") -> bool:
     p = pathlib.Path(path)
     return (p / "Data" / "com.apple.CoreML").is_dir() or p.suffix == ".mlmodel"
 
@@ -176,7 +176,7 @@ def _parse_op(op: bytes) -> Tuple[str, Dict[str, str], Dict[str, bytes]]:
 _identity_bn = nmp.identity_bn_stats  # shared (models/nmp.py)
 
 
-def load_nmp_coreml(path) -> Dict:
+def load_nmp_coreml(path: "str | pathlib.Path") -> Dict:
     """Read the reference `nmp.mlpackage` into the framework's param tree.
 
     Returns the same pytree structure as `params.load_params()`; the two

@@ -42,7 +42,7 @@ Params = Dict[str, Any]
 BN_EPSILON = 1e-3  # Keras BatchNormalization default
 
 
-def identity_bn_stats(width: int):
+def identity_bn_stats(width: int) -> "Dict[str, Any]":
     """BatchNorm parameter dict that is exactly the identity under
     `_batch_norm`: rsqrt(var + eps) == 1 when var = 1 - eps. Used by the
     serialized-model importers for formats that fold BN into the convs."""
@@ -320,7 +320,7 @@ def frontend(
     audio: jnp.ndarray,
     config: ModelConfig = DEFAULT_CONFIG,
     train: bool = False,
-    precision=jax.lax.Precision.HIGHEST,
+    precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
 ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
     """Audio -> harmonically stacked, normalized CQT.
 
@@ -350,8 +350,8 @@ def forward(
     audio: jnp.ndarray,
     config: ModelConfig = DEFAULT_CONFIG,
     train: bool = False,
-    precision=jax.lax.Precision.HIGHEST,
-    head_precision=None,
+    precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
+    head_precision: "jax.lax.Precision | None" = None,
     conv_impl: str = "conv",
 ) -> Tuple[Dict[str, jnp.ndarray], Dict[str, Any]]:
     """Full NMP forward pass.
@@ -423,8 +423,8 @@ def predict_fn(
     params: Params,
     audio: jnp.ndarray,
     config: ModelConfig = DEFAULT_CONFIG,
-    precision=jax.lax.Precision.HIGHEST,
-    head_precision=None,
+    precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
+    head_precision: "jax.lax.Precision | None" = None,
     conv_impl: str = "conv",
 ) -> Dict[str, jnp.ndarray]:
     """Inference-only forward (no BN stats)."""

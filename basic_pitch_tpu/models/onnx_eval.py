@@ -228,7 +228,7 @@ _OPS = {
 }
 
 
-def run_model(path, audio: np.ndarray) -> Dict[str, np.ndarray]:
+def run_model(path: "str | pathlib.Path", audio: np.ndarray) -> Dict[str, np.ndarray]:
     """Execute an exported nmp.onnx on (batch, 43844) or (batch, 43844, 1)
     audio; returns {"note", "onset", "contour"} posteriorgrams."""
     from basic_pitch_tpu.models import onnx_export

@@ -148,7 +148,9 @@ class _GraphBuilder:
         self.initializers.append(_tensor_proto(name, array))
         return name
 
-    def op(self, op: str, inputs: Sequence[str], out: Optional[str] = None, **attrs) -> str:
+    def op(
+        self, op: str, inputs: Sequence[str], out: Optional[str] = None, **attrs: object
+    ) -> str:
         out = out or self.name(op.lower())
         self.nodes.append(_node(op, inputs, [out], **attrs))
         return out
@@ -372,7 +374,9 @@ def build_nmp_graph(
     return graph, b""
 
 
-def export_onnx(params: Dict, path, config: nmp.ModelConfig = nmp.DEFAULT_CONFIG) -> None:
+def export_onnx(
+    params: Dict, path: "str | pathlib.Path", config: nmp.ModelConfig = nmp.DEFAULT_CONFIG
+) -> None:
     """Write `params` as a runnable `nmp.onnx` (see module docstring)."""
     graph, _ = build_nmp_graph(params, config)
     buf = io.BytesIO()

@@ -100,7 +100,7 @@ def _tensor(buf: bytes) -> Tuple[str, Tuple[int, ...], np.ndarray]:
 _identity_bn = nmp.identity_bn_stats  # shared (models/nmp.py)
 
 
-def looks_like_onnx(path) -> bool:
+def looks_like_onnx(path: "str | pathlib.Path") -> bool:
     import pathlib
 
     p = pathlib.Path(path)
@@ -117,7 +117,7 @@ def looks_like_onnx(path) -> bool:
     return head[:1] == b"\x08" and b"\x3a" in head
 
 
-def load_nmp_onnx(path) -> Dict:
+def load_nmp_onnx(path: "str | pathlib.Path") -> Dict:
     """Read the reference `nmp.onnx` into the framework's parameter tree.
 
     Returns the same pytree structure as `params.load_params()`; batch-norm

@@ -201,7 +201,7 @@ _SUFFIX = "/.ATTRIBUTES/VARIABLE_VALUE"
 _BN_ROLES = {"beta": "beta", "gamma": "gamma", "moving_mean": "mean", "moving_variance": "var"}
 
 
-def load_nmp_savedmodel(saved_model_dir) -> Dict:
+def load_nmp_savedmodel(saved_model_dir: "str | pathlib.Path") -> Dict:
     """Read an NMP TF SavedModel directory into the framework's param tree.
 
     Matches variables to parameters by shape and role (docstring above), and
@@ -270,6 +270,6 @@ def load_nmp_savedmodel(saved_model_dir) -> Dict:
     }
 
 
-def looks_like_savedmodel(path) -> bool:
+def looks_like_savedmodel(path: "str | pathlib.Path") -> bool:
     p = pathlib.Path(path)
     return p.is_dir() and (p / "saved_model.pb").exists()

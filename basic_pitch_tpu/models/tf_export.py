@@ -232,7 +232,7 @@ class NmpTfModule(tf.Module):
 
 
 def export_savedmodel(
-    params: Dict, out_dir, config: nmp.ModelConfig = nmp.DEFAULT_CONFIG
+    params: Dict, out_dir: "str | pathlib.Path", config: nmp.ModelConfig = nmp.DEFAULT_CONFIG
 ) -> None:
     """Write `params` as a TF SavedModel directory callable like the
     reference's (`inference.py:78-94, 160-162`)."""
@@ -244,7 +244,7 @@ def export_savedmodel(
 
 
 def export_tflite(
-    params: Dict, path, config: nmp.ModelConfig = nmp.DEFAULT_CONFIG
+    params: Dict, path: "str | pathlib.Path", config: nmp.ModelConfig = nmp.DEFAULT_CONFIG
 ) -> None:
     """Write `params` as `nmp.tflite` (builtin ops only — no flex delegate),
     loadable by the reference's tflite consumer (`inference.py:112-117`) and

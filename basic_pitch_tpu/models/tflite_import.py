@@ -122,7 +122,7 @@ class _FlatBuffer:
         return struct.unpack_from("<b", self.d, p)[0] if p is not None else default
 
 
-def looks_like_tflite(path) -> bool:
+def looks_like_tflite(path: "str | pathlib.Path") -> bool:
     import pathlib
 
     p = pathlib.Path(path)
@@ -135,7 +135,7 @@ def looks_like_tflite(path) -> bool:
 _identity_bn = nmp.identity_bn_stats  # shared (models/nmp.py)
 
 
-def load_nmp_tflite(path) -> Dict:
+def load_nmp_tflite(path: "str | pathlib.Path") -> Dict:
     """Read the reference `nmp.tflite` into the framework's parameter tree.
 
     Returns the same pytree structure as `params.load_params()`; batch-norm

@@ -265,7 +265,9 @@ def stride2_toeplitz_matrix(taps: np.ndarray, block: int = _DEC_BLOCK) -> np.nda
     return strided_toeplitz_matrix(taps, 2, block)
 
 
-def strided_blocked_matmul(z: jnp.ndarray, w: jnp.ndarray, stride: int, n_blocks: int, precision):
+def strided_blocked_matmul(
+    z: jnp.ndarray, w: jnp.ndarray, stride: int, n_blocks: int, precision: "jax.lax.Precision | str"
+) -> jnp.ndarray:
     """Apply a `strided_toeplitz_matrix` to a prepared
     (batch, stride*block*(n_blocks+1)) signal; returns (batch, n_blocks*block)
     outputs (caller slices to n_out)."""
@@ -277,7 +279,9 @@ def strided_blocked_matmul(z: jnp.ndarray, w: jnp.ndarray, stride: int, n_blocks
     return y.reshape(batch, n_blocks * block)
 
 
-def stride2_blocked_matmul(z: jnp.ndarray, w: jnp.ndarray, n_blocks: int, precision):
+def stride2_blocked_matmul(
+    z: jnp.ndarray, w: jnp.ndarray, n_blocks: int, precision: "jax.lax.Precision | str"
+) -> jnp.ndarray:
     """The stride-2 case of `strided_blocked_matmul`."""
     return strided_blocked_matmul(z, w, 2, n_blocks, precision)
 
@@ -365,7 +369,7 @@ def cqt_frame_count(n_samples: int, hop_length: int) -> int:
 def cqt_magnitude(
     kernels: CQTKernels,
     audio: jnp.ndarray,
-    precision=jax.lax.Precision.HIGHEST,
+    precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
     kernel_matrix: "jnp.ndarray | None" = None,
 ) -> jnp.ndarray:
     """Jittable magnitude CQT.

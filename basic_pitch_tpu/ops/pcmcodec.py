@@ -177,7 +177,7 @@ def _native_pack(pcm: np.ndarray, order: int):
     return words, int(total), counts, idx, heads
 
 
-def pack_numpy(pcm: np.ndarray, order: int):
+def pack_numpy(pcm: np.ndarray, order: int) -> "PackedPCM | None":
     """Pure-numpy reference packer (same wire format as the C++ one)."""
     nb = len(pcm) // BLOCK
     x = pcm.astype(np.int32).reshape(nb, BLOCK)
@@ -258,7 +258,9 @@ def _lpc_residuals(x_blocks: np.ndarray, coeffs: np.ndarray, shifts: np.ndarray)
     return (x64[:, p:] - pred).astype(np.int32)
 
 
-def lpc_analyze_numpy(pcm: np.ndarray, p: int = LPC_ORDER):
+def lpc_analyze_numpy(
+    pcm: np.ndarray, p: int = LPC_ORDER
+) -> "tuple[np.ndarray, np.ndarray, int]":
     """Per-block LPC analysis: (coeffs (nb,p) int16, shifts (nb,) int8, bits).
 
     Autocorrelation + vectorized Levinson-Durbin per 256-sample block, then
@@ -336,7 +338,9 @@ def lpc_analyze_numpy(pcm: np.ndarray, p: int = LPC_ORDER):
     return np.ascontiguousarray(c), s.astype(np.int8), bits
 
 
-def pack_numpy_lpc(pcm: np.ndarray, coeffs: np.ndarray, shifts: np.ndarray):
+def pack_numpy_lpc(
+    pcm: np.ndarray, coeffs: np.ndarray, shifts: np.ndarray
+) -> "PackedPCM | None":
     """Pure-numpy LPC packer (same wire format as native pack_pcm16_lpc)."""
     p = coeffs.shape[1]
     nb = len(pcm) // BLOCK
@@ -654,7 +658,7 @@ def _finish_lpc_fn(nb: int, n_out: int, p: int):
 
 
 def decode_to_device(
-    packed: PackedPCM, n_out: Optional[int] = None, device=None
+    packed: PackedPCM, n_out: Optional[int] = None, device: "jax.Device | None" = None
 ) -> jax.Array:
     """Upload a PackedPCM and reconstruct float32 samples in HBM.
 

@@ -50,7 +50,7 @@ def decimate2_output_length(n: int) -> int:
 
 def decimate2(
     x: jnp.ndarray,
-    precision=jax.lax.Precision.HIGHEST,
+    precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
     halo: bool = False,
     n_out: int = None,
 ) -> jnp.ndarray:

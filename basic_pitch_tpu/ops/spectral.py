@@ -87,6 +87,8 @@ def stft(
     return jnp.fft.rfft(frames * jnp.asarray(window), n=fft_length, axis=-1)
 
 
-def spectrogram(signal: jnp.ndarray, power: float = 2.0, **stft_kwargs) -> jnp.ndarray:
+def spectrogram(
+    signal: jnp.ndarray, power: float = 2.0, **stft_kwargs: object
+) -> jnp.ndarray:
     """|STFT|**power (`layers/signal.py:116-151`)."""
     return jnp.abs(stft(signal, **stft_kwargs)) ** power

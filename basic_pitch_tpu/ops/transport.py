@@ -146,7 +146,9 @@ def _reprobe(old: Dict, device=None) -> Dict:
     return new
 
 
-def probe(device=None, ttl_s: Optional[float] = None, force: bool = False) -> Dict:
+def probe(
+    device: "jax.Device | None" = None, ttl_s: Optional[float] = None, force: bool = False
+) -> Dict:
     """Measured transport decision, cached per process.
 
     ``ttl_s`` re-measures when the cached probe is older than that many
@@ -210,7 +212,7 @@ def check_mode(pcm_transport: str) -> str:
 
 def resolve(
     pcm_transport: str,
-    device=None,
+    device: "jax.Device | None" = None,
     ttl_s: Optional[float] = None,
     serial: bool = False,
 ) -> str:
@@ -232,7 +234,7 @@ def resolve(
     return record["transport_serial" if serial else "transport"]
 
 
-def report(device=None) -> Dict:
+def report(device: "jax.Device | None" = None) -> Dict:
     """Probe record for benchmark artifacts.
 
     Honest when the native packer is missing: the production path resolves

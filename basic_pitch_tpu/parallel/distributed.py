@@ -83,14 +83,14 @@ def shutdown() -> None:
         jax.distributed.shutdown()
 
 
-def global_mesh(axis: str = mesh_lib.DATA_AXIS):
+def global_mesh(axis: str = mesh_lib.DATA_AXIS) -> "jax.sharding.Mesh":
     """1-D mesh over ALL devices of ALL processes (after `initialize`)."""
     import jax
 
     return mesh_lib.make_mesh(jax.devices(), axis=axis)
 
 
-def spans_processes(mesh) -> bool:
+def spans_processes(mesh: "jax.sharding.Mesh") -> bool:
     """Does this mesh include devices owned by other processes?"""
     import jax
 
@@ -110,7 +110,7 @@ def local_batch_size(global_batch_size: int) -> int:
     return global_batch_size // n
 
 
-def local_slice(tree, global_batch_size: Optional[int] = None):
+def local_slice(tree: object, global_batch_size: Optional[int] = None) -> object:
     """This process's rows of a host-global batch pytree (for tests/tools
     that synthesize the full batch everywhere; real loaders produce local
     slices directly via their shard arguments)."""
@@ -126,7 +126,7 @@ def local_slice(tree, global_batch_size: Optional[int] = None):
     return jax.tree.map(slc, tree)
 
 
-def global_batch(mesh, local_tree):
+def global_batch(mesh: "jax.sharding.Mesh", local_tree: object) -> object:
     """Assemble a process-spanning, batch-sharded global array pytree from
     this process's LOCAL batch slice (global batch = concatenation of every
     process's slice in process order). Single-process meshes accept the
@@ -140,7 +140,7 @@ def global_batch(mesh, local_tree):
     )
 
 
-def replicate(mesh, tree):
+def replicate(mesh: "jax.sharding.Mesh", tree: object) -> object:
     """Replicate host values (identical on every process) across a
     process-spanning mesh."""
     import jax

@@ -34,7 +34,7 @@ def batch_sharded(mesh: Mesh, axis: str = DATA_AXIS) -> NamedSharding:
     return NamedSharding(mesh, PartitionSpec(axis))
 
 
-def shard_batch(mesh: Mesh, tree):
+def shard_batch(mesh: Mesh, tree: object) -> object:
     """Place a pytree of arrays with their leading axis sharded on the mesh."""
     return jax.device_put(tree, batch_sharded(mesh))
 
@@ -45,11 +45,11 @@ def stacked_batch_sharded(mesh: Mesh, axis: str = DATA_AXIS) -> NamedSharding:
     return NamedSharding(mesh, PartitionSpec(None, axis))
 
 
-def shard_stacked_batch(mesh: Mesh, tree):
+def shard_stacked_batch(mesh: Mesh, tree: object) -> object:
     """Place a stacked k-step batch with each micro-batch mesh-sharded."""
     return jax.device_put(tree, stacked_batch_sharded(mesh))
 
 
-def replicate(mesh: Mesh, tree):
+def replicate(mesh: Mesh, tree: object) -> object:
     """Place a pytree of arrays fully replicated on the mesh."""
     return jax.device_put(tree, replicated(mesh))

@@ -27,7 +27,7 @@ import sys
 import numpy as np
 
 
-def synthetic_global_batch(global_batch: int, seed: int = 0):
+def synthetic_global_batch(global_batch: int, seed: int = 0) -> dict:
     """Deterministic dense training batch, identical on every process."""
     from basic_pitch_tpu import constants
 
@@ -48,7 +48,7 @@ def synthetic_global_batch(global_batch: int, seed: int = 0):
     }
 
 
-def synthetic_sparse_items(global_batch: int, seed: int = 1):
+def synthetic_sparse_items(global_batch: int, seed: int = 1) -> list:
     """Loader-shaped items for the device-rasterized (sparse-COO) transport."""
     from basic_pitch_tpu import constants
 
@@ -139,7 +139,7 @@ def run(
     return result
 
 
-def main(argv=None) -> None:
+def main(argv: "list[str] | None" = None) -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--process-id", type=int, required=True)
     ap.add_argument("--num-processes", type=int, required=True)

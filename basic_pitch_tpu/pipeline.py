@@ -1005,7 +1005,7 @@ class StreamingTranscriber:
         melodia_trick: bool = True,
         include_pitch_bends: bool = True,
         max_notes: int = 16384,
-    ):
+    ) -> "list[tuple]":
         """Raw samples -> note events, with decoding ON DEVICE.
 
         Only note-event buffers (KBs) and compact per-note bends cross the
@@ -1023,7 +1023,7 @@ class StreamingTranscriber:
 
     def transcribe_batch(
         self,
-        recordings,
+        recordings: "list[tuple[np.ndarray, int]]",
         onset_threshold: float = 0.5,
         frame_threshold: float = 0.3,
         min_note_length: int = 11,
@@ -1034,7 +1034,7 @@ class StreamingTranscriber:
         include_pitch_bends: bool = True,
         max_notes: int = 16384,
         return_model_outputs: bool = False,
-    ):
+    ) -> list:
         """Transcribe many recordings with pipelined uploads/compute/downloads.
 
         Args:
@@ -1059,7 +1059,7 @@ class StreamingTranscriber:
         ]
         return self._collect_many(tickets)
 
-    def transcribe_file(self, audio_path) -> Dict[str, np.ndarray]:
+    def transcribe_file(self, audio_path: "str | pathlib.Path") -> Dict[str, np.ndarray]:
         """Decode an audio file on host and transcribe. WAV uses the native
         codec, other containers go through ffmpeg; 44.1 kHz and 22.05 kHz
         signals take the all-device path, other rates resample on host first."""

@@ -413,7 +413,7 @@ class TranscriptionHandler(BaseHTTPRequestHandler):
     server_version = "basic-pitch-tpu"
     protocol_version = "HTTP/1.1"
 
-    def log_message(self, fmt, *args):  # route through logging, not stderr
+    def log_message(self, fmt: str, *args: object) -> None:  # route through logging, not stderr
         import logging
 
         logging.getLogger(__name__).info("%s " + fmt, self.address_string(), *args)
@@ -428,7 +428,7 @@ class TranscriptionHandler(BaseHTTPRequestHandler):
     def _send_json(self, code: int, payload: Dict) -> None:
         self._send(code, json.dumps(payload).encode(), "application/json")
 
-    def do_GET(self):  # noqa: N802 — BaseHTTPRequestHandler contract
+    def do_GET(self) -> None:  # noqa: N802 — BaseHTTPRequestHandler contract
         service: TranscriptionService = self.server.service
         path = urlparse(self.path).path
         if path == "/healthz":
@@ -580,14 +580,14 @@ class TranscriptionHandler(BaseHTTPRequestHandler):
             except Exception:  # response already started
                 pass
 
-    def do_PUT(self):  # noqa: N802 — `curl -T -` (chunked upload) sends PUT
+    def do_PUT(self) -> None:  # noqa: N802 — `curl -T -` (chunked upload) sends PUT
         url = urlparse(self.path)
         if url.path in ("/v1/stream", "/stream"):
             self._handle_stream(url)
         else:
             self._send_json(404, {"error": f"no route {url.path!r}"})
 
-    def do_POST(self):  # noqa: N802
+    def do_POST(self) -> None:  # noqa: N802
         service: TranscriptionService = self.server.service
         url = urlparse(self.path)
         if url.path in ("/v1/stream", "/stream"):

@@ -337,13 +337,13 @@ def _update_bn_stats(params, batch_stats, momentum: float):
 
 
 def train_step_body(
-    params,
-    opt_state,
+    params: "Dict[str, Any]",
+    opt_state: "optax.OptState",
     batch: Batch,
     optimizer: optax.GradientTransformation,
     config: TrainConfig,
     model_config: nmp.ModelConfig = nmp.DEFAULT_CONFIG,
-):
+) -> "tuple[Dict[str, Any], optax.OptState, Dict[str, jnp.ndarray]]":
     """One train step as a pure traceable function.
 
     Shared by `build_train_step` (one dispatch per step) and
@@ -548,7 +548,12 @@ def build_eval_step(
     return jax.jit(step, in_shardings=(rep, batch_sharding), out_shardings=rep)
 
 
-def save_train_state(path: pathlib.Path, params, opt_state, extra: Dict) -> None:
+def save_train_state(
+    path: pathlib.Path,
+    params: "Dict[str, Any]",
+    opt_state: "optax.OptState",
+    extra: Dict,
+) -> None:
     """Full-state checkpoint (params + optimizer + bookkeeping) via orbax."""
     import orbax.checkpoint as ocp
 
@@ -562,7 +567,11 @@ def save_train_state(path: pathlib.Path, params, opt_state, extra: Dict) -> None
     checkpointer.wait_until_finished()
 
 
-def restore_train_state(path: pathlib.Path, params_template, opt_state_template):
+def restore_train_state(
+    path: pathlib.Path,
+    params_template: "Dict[str, Any]",
+    opt_state_template: "optax.OptState",
+) -> "tuple[Dict[str, Any], optax.OptState, Dict]":
     """Restore a checkpoint written by `save_train_state`."""
     import orbax.checkpoint as ocp
 

@@ -101,7 +101,7 @@ def raw_to_np(data: bytes, dtype: type) -> np.ndarray:
     return np.frombuffer(data[:usable], dtype=dtype)
 
 
-def write_wav(path, samples: np.ndarray, sample_rate: int) -> None:
+def write_wav(path: "PathLike | object", samples: np.ndarray, sample_rate: int) -> None:
     """Write float samples (clipped to [-1, 1]) as 16-bit PCM.
 
     ``path`` may be a filesystem path or any binary file-like object."""
@@ -155,7 +155,9 @@ def read_wav_mono(path: PathLike) -> Tuple[np.ndarray, int]:
     return to_mono(samples), sample_rate
 
 
-def read_wav_pcm16_mono(path: PathLike, rates: Tuple[int, ...] = (22050, 44100)):
+def read_wav_pcm16_mono(
+    path: PathLike, rates: Tuple[int, ...] = (22050, 44100)
+) -> "Tuple[np.ndarray, int] | None":
     """Raw int16 mono samples when the file is PCM16 mono at a given rate.
 
     Returns (int16 samples, sample_rate), or None when the file is not

@@ -58,7 +58,7 @@ def match_notes(
 def precision_recall_f1(
     reference: Sequence[Note],
     estimated: Sequence[Note],
-    **kwargs,
+    **kwargs: float,
 ) -> Dict[str, float]:
     """Note-level precision/recall/F1 (onset+pitch criterion by default)."""
     n_match = match_notes(reference, estimated, **kwargs)

@@ -30,7 +30,7 @@ def trace(log_dir: str) -> Iterator[None]:
         jax.profiler.stop_trace()
 
 
-def annotate(name: str):
+def annotate(name: str) -> "jax.profiler.TraceAnnotation":
     """Named region that shows up on profiler timelines."""
     return jax.profiler.TraceAnnotation(name)
 

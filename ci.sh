@@ -24,6 +24,9 @@ else
     echo "mypy not installed (pip install -e .[lint]); skipping"
 fi
 
+echo "== public-API annotation gate (strict-typing ratchet) =="
+python tools/check_annotations.py
+
 echo "== README perf table freshness =="
 python tools/update_readme_perf.py
 git diff --quiet -- README.md || {
