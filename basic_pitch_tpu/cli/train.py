@@ -47,6 +47,7 @@ def main(
     process_id: int = 0,
     parse_workers: int = 2,
     steps_per_dispatch: int = 1,
+    train_precision: str = "highest",
 ) -> None:
     """Build datasets, model, and callbacks, then run the fit loop."""
     if num_processes > 1:
@@ -136,6 +137,7 @@ def main(
 
     config = train_loop.TrainConfig(
         learning_rate=learning_rate,
+        precision=train_precision,
         weighted_onset_loss=weighted_onset_loss,
         positive_onset_weight=positive_onset_weight,
         steps_per_epoch=steps_per_epoch,
@@ -206,6 +208,12 @@ def console_entry_point() -> None:
     parser.add_argument("--steps-per-dispatch", type=int, default=1,
                         help="optimizer steps scanned inside one device program "
                              "(amortizes per-dispatch latency; single-process only)")
+    parser.add_argument("--train-precision", default="highest",
+                        choices=("highest", "high", "default"),
+                        help="MXU precision for the TRAINING step (inference "
+                             "always runs highest); 'high'/'default' trade "
+                             "exact fp32 emulation for MXU throughput - gate "
+                             "on held-out F1 (tools/train_precision_ab.json)")
     args = parser.parse_args()
 
     datasets_flagged = [
@@ -244,6 +252,7 @@ def console_entry_point() -> None:
         args.process_id,
         args.parse_workers,
         args.steps_per_dispatch,
+        args.train_precision,
     )
 
 

@@ -224,6 +224,13 @@ def upload_batch(batch: Batch) -> Tuple[Batch, int]:
 @dataclasses.dataclass
 class TrainConfig:
     learning_rate: float = 1e-3
+    # MXU matmul/conv precision for the TRAINING step only. Inference keeps
+    # HIGHEST (the exact-parity gate, tools/precision_ab.json); training's
+    # acceptance gate is held-out convergence, not bit-exactness, so the
+    # faster passes are legitimate here when the comparator holds
+    # (tools/train_precision_ab.json): "highest" (6-pass fp32 emulation),
+    # "high" (3-pass), "default" (1-pass bf16 inputs, fp32 accumulate).
+    precision: str = "highest"
     label_smoothing: float = losses.DEFAULT_LABEL_SMOOTHING
     weighted_onset_loss: bool = False
     positive_onset_weight: float = losses.DEFAULT_POSITIVE_WEIGHT
@@ -336,6 +343,13 @@ def _update_bn_stats(params, batch_stats, momentum: float):
     return new_params
 
 
+_TRAIN_PRECISIONS = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}
+
+
 def train_step_body(
     params: "Dict[str, Any]",
     opt_state: "optax.OptState",
@@ -354,7 +368,11 @@ def train_step_body(
 
     def loss_fn(p):
         outputs, batch_stats = nmp.forward(
-            p, batch["audio"], model_config, train=True
+            p,
+            batch["audio"],
+            model_config,
+            train=True,
+            precision=_TRAIN_PRECISIONS[config.precision],
         )
         total, per_head = losses.total_loss(
             outputs,

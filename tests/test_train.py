@@ -89,6 +89,26 @@ def test_train_step_reduces_loss():
     np.testing.assert_allclose(norms, 1.0, atol=1e-4)
 
 
+@pytest.mark.parametrize("precision", ["high", "default"])
+def test_train_step_runs_at_reduced_precision(precision):
+    """TrainConfig.precision steers the MXU passes of the TRAINING step
+    only (inference stays HIGHEST); the step must run and reduce the loss
+    at every setting — convergence, not bit-exactness, is training's
+    acceptance gate (tools/train_precision_ab.json)."""
+    rng = np.random.RandomState(0)
+    config = train_loop.TrainConfig(learning_rate=5e-3, precision=precision)
+    optimizer = train_loop.make_optimizer(config)
+    params = nmp.init_params(jax.random.PRNGKey(0))
+    opt_state = optimizer.init(params)
+    step = train_loop.build_train_step(optimizer, config)
+    batch = _random_batch(rng)
+    params, opt_state, m0 = step(params, opt_state, batch)
+    for _ in range(3):
+        params, opt_state, m = step(params, opt_state, batch)
+    assert np.isfinite(float(m["loss"]))
+    assert float(m["loss"]) < float(m0["loss"])
+
+
 def test_trainable_cqt_kernels_learn_and_transcribe():
     """`trainable_cqt=True` puts the filterbank in the param tree: gradient
     steps move it, the per-step constraint keeps each bin L1-normalized, and

@@ -69,7 +69,7 @@ def build_corpus_and_shards(workdir: pathlib.Path, n_tracks: int, seconds: float
 def timed_training(shards, steps: int, batch_size: int, learning_rate: float,
                    warmup_steps: int = 10, shuffle: int = 100, sync_every: int = 50,
                    device_targets: bool = False, pcm_transport: str = "auto",
-                   steps_per_dispatch: int = 1):
+                   steps_per_dispatch: int = 1, precision: str = "highest"):
     """Train with the production loader + jitted step; time both sides.
 
     Steps are ENQUEUED asynchronously (dispatch pipelining — the production
@@ -97,7 +97,9 @@ def timed_training(shards, steps: int, batch_size: int, learning_rate: float,
         train_iter = train_loop.grouped_batches(train_iter, k)
     if device_targets:
         train_iter = train_loop.packed_batches(train_iter, pcm_transport)
-    config = train_loop.TrainConfig(learning_rate=learning_rate)
+    config = train_loop.TrainConfig(
+        learning_rate=learning_rate, precision=precision
+    )
     optimizer = train_loop.make_optimizer(config)
     params = nmp.init_params(jax.random.PRNGKey(0))
     opt_state = optimizer.init(params)
@@ -335,6 +337,11 @@ def main(argv=None) -> dict:
     ap.add_argument("--steps-per-dispatch", type=int, default=8,
                     help="optimizer steps scanned per device program in the "
                     "throughput arms (1 = the r4 per-step dispatch behavior)")
+    ap.add_argument("--train-precision", default="highest",
+                    choices=("highest", "high", "default"),
+                    help="MXU precision for the timed TRAINING arms; the "
+                    "batch-16 convergence comparator always runs highest "
+                    "(tools/train_precision_ab.json for device-only A/B)")
     ap.add_argument("--no-baseline-f1", dest="baseline_f1", action="store_false",
                     help="skip the same-corpus batch-16 convergence comparator")
     ap.add_argument("--workdir", default=None, help="reuse a directory (default: temp)")
@@ -369,7 +376,9 @@ def main(argv=None) -> dict:
         shards, steps_for(args.batch_size), args.batch_size,
         lr_for(args.batch_size), device_targets=True,
         steps_per_dispatch=args.steps_per_dispatch,
+        precision=args.train_precision,
     )
+    train_stats["train_precision"] = args.train_precision
     print(f"training (batch {args.batch_size}): {train_stats}")
 
     # short sweep runs: same pipeline at other batch sizes (1/4 the windows)
@@ -378,6 +387,7 @@ def main(argv=None) -> dict:
         _, s = timed_training(
             shards, steps_for(bs, 4), bs, lr_for(bs), device_targets=True,
             steps_per_dispatch=args.steps_per_dispatch,
+            precision=args.train_precision,
         )
         print(f"sweep batch {bs}: {s}")
         sweep_stats.append(
