@@ -34,8 +34,17 @@ against the offline decode of the same audio, event F1 (onset+pitch,
 50 ms) at the default settings is >= 0.996 on 60 s of dense continuous
 4-voice polyphony and 1.000 on polyphonic piano and real vocals; the
 aggressive low-latency setting (segment 1 s, lookahead 0.5 s, context 8 s)
-bottoms out at 0.9455 on looped vocals whose notes repeatedly span the
-context cap. tests/test_streaming.py::test_dense_polyphony_parity_bound
+bottoms out at 0.9556 on looped vocals whose notes repeatedly span the
+context cap. That floor's MECHANISM is measured, not a session-policy
+loss (tools/stream_diag.py; STREAM_PARITY.json `mismatch_anatomy`): of
+the 8 offline notes unmatched at that setting, 7 have a streamed twin at
+the SAME time re-resolved one semitone away or with onset jitter past
+the 50 ms scoring tolerance — the melodia iteration and inferred-onset
+rescaling see an 8 s window's statistics instead of the recording's, so
+near-threshold notes resolve to the adjacent bin. Session policy cannot
+fix a decode-level re-resolution without more context — which is exactly
+the knob: at lookahead 1 s / context 12 s the same audio scores 1.000.
+tests/test_streaming.py::test_dense_polyphony_parity_bound
 pins the default-settings bound. Notes
 longer than ``max_context_seconds`` survive the window sliding past their
 onset: the pending-note key is clamped to the trim cut so the re-decoded

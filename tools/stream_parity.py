@@ -97,7 +97,57 @@ def run_setting(transcriber, audio: np.ndarray, seg: float, look: float, ctx: fl
         "pending_dropped": session.stats["pending_dropped"],
         "pending_force_emitted": session.stats["pending_force_emitted"],
         "flushes": session.stats["flushes"],
+        "mismatch_anatomy": mismatch_anatomy(ref, est),
     }
+
+
+def mismatch_anatomy(ref, est) -> dict:
+    """Classify unmatched events so the parity number carries its mechanism
+    (VERDICT r4 #6: 'a documented floor with the mechanism named').
+
+    Greedy re-match with the scoring criterion (onset 50 ms + exact pitch),
+    then pair the leftovers: an unmatched offline note whose streamed twin
+    sits within +/-1 semitone and 150 ms is the SAME note re-resolved by the
+    segment-local decode (semitone_adjacent / onset_jitter); only notes with
+    no such twin were actually lost (or invented) by the streaming session.
+    """
+    used: set = set()
+    matched_ref: set = set()
+    for i, (ron, _roff, rp) in enumerate(ref):
+        best, bestd = None, None
+        for j, (eon, _eoff, ep) in enumerate(est):
+            if j in used or ep != rp:
+                continue
+            d = abs(eon - ron)
+            if d <= 0.05 and (bestd is None or d < bestd):
+                best, bestd = j, d
+        if best is not None:
+            used.add(best)
+            matched_ref.add(i)
+    un_ref = [i for i in range(len(ref)) if i not in matched_ref]
+    un_est = [j for j in range(len(est)) if j not in used]
+    anatomy = {"semitone_adjacent": 0, "onset_jitter": 0, "lost": 0, "extra": 0}
+    claimed: set = set()
+    for i in un_ref:
+        ron, _roff, rp = ref[i]
+        twin = None
+        for j in un_est:
+            if j in claimed:
+                continue
+            eon, _eoff, ep = est[j]
+            if abs(ep - rp) <= 1 and abs(eon - ron) <= 0.15:
+                twin = j
+                break
+        if twin is None:
+            anatomy["lost"] += 1
+        else:
+            claimed.add(twin)
+            if est[twin][2] != rp:
+                anatomy["semitone_adjacent"] += 1
+            else:
+                anatomy["onset_jitter"] += 1
+    anatomy["extra"] = len(un_est) - len(claimed)
+    return anatomy
 
 
 def main() -> None:
