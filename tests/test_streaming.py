@@ -441,3 +441,34 @@ def test_force_emit_superseded_by_fresher_sighting():
     assert session.stats["pending_superseded"] == 1
     assert session.stats["pending_force_emitted"] == 0
     assert session.stats["pending_dropped"] == 0
+
+
+def test_mismatch_anatomy_classification():
+    """The STREAM_PARITY mismatch anatomy (tools/stream_parity.py) names
+    each unmatched event's mechanism: a matched pair contributes nothing;
+    an offline note with a twin one semitone away is semitone_adjacent;
+    same pitch past the 50 ms scoring tolerance is onset_jitter; no twin
+    within +/-1 semitone and 150 ms is lost; leftover streamed events are
+    extra."""
+    import pathlib
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parent.parent / "tools"))
+    import stream_parity
+
+    ref = [(1.0, 1.5, 60), (2.0, 2.5, 47), (3.0, 3.4, 54), (9.0, 9.5, 70)]
+    est = [(1.01, 1.5, 60), (2.02, 2.5, 46), (3.09, 3.4, 54), (20.0, 20.5, 30)]
+    anatomy = stream_parity.mismatch_anatomy(ref, est)
+    assert anatomy == {
+        "semitone_adjacent": 1,
+        "onset_jitter": 1,
+        "lost": 1,
+        "extra": 1,
+    }
+    # perfect agreement: all zeros
+    assert stream_parity.mismatch_anatomy(ref, list(ref)) == {
+        "semitone_adjacent": 0,
+        "onset_jitter": 0,
+        "lost": 0,
+        "extra": 0,
+    }
